@@ -1,0 +1,424 @@
+"""Pure-Python SymSpell kernel — behavioral parity with the reference
+engine (/root/reference/src/sym_spell/sym_spell.rs), used to
+
+* pin byte-identical semantics before any distribution (golden tests);
+* serve as the broadcast per-executor engine inside the Spark
+  ``lookup_compound`` operator (the compound algorithm is inherently
+  sequential per document — sym_spell.rs:523-676).
+
+Deliberate reference quirks reproduced (each cited):
+
+* postings keyed by the delete **string** (the reference hashes with
+  SipHash and tolerates collisions, sym_spell.rs:55-58,272-276; string
+  keys are collision-free and distance verification exists regardless);
+* 1-char-suggestion distance branch is inverted vs upstream SymSpell
+  (``contains`` → input_len, else input_len-1; sym_spell.rs:430-436);
+* final sort at Verbosity::All orders distance **descending**
+  (sym_spell.rs:508-515 — deviates from the README's own docs);
+* compound unknown-term fallback transposes the (distance, count)
+  constructor arguments (sym_spell.rs:648,652 vs suggested_item.rs:17);
+* a 1-codepoint input with max_edit_distance=2 gets no suggestions
+  (``input_len < max_edit_distance`` guard, sym_spell.rs:306).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+from enum import IntEnum
+
+from .deletes import edits, generate_deletes
+from .distance import osa_distance_max
+from .text import parse_words
+
+N = 1024908267229.0  # sym_spell.rs:46
+_USIZE_MAX = 2**64 - 1
+_UINT_RE = re.compile(r"^\+?\d+$")
+
+
+class Verbosity(IntEnum):
+    """sym_spell/verbosity.rs:3-11 (Top=0, Closest=1, All=2)."""
+
+    TOP = 0
+    CLOSEST = 1
+    ALL = 2
+
+
+@dataclass
+class SuggestItem:
+    """suggested_item.rs:5-9."""
+
+    term: str = ""
+    distance: int = 0
+    count: int = 0
+
+
+def _parse_usize(s: str) -> int:
+    """Rust ``parse::<usize>().unwrap_or(0)`` (sym_spell.rs:185)."""
+    s = s.rstrip()
+    return int(s) if _UINT_RE.match(s) else 0
+
+
+def _pow10_usize(exponent: int) -> int:
+    """Rust ``10f64.powf(x) as usize`` — saturating float→usize cast."""
+    v = 10.0 ** exponent if exponent < 300 else float("inf")
+    return _USIZE_MAX if v >= _USIZE_MAX else int(v)
+
+
+def ingest_wasm_stream(kernel: "SymSpellKernel", data: bytes,
+                       is_bigram: bool = False) -> None:
+    """Reproduce the WASM chunked line splitter (spellchecker_wasm.rs:24-49):
+    each complete line is passed as ``buffer[cursor..i-1]`` — i.e. the char
+    **before** the newline is silently dropped.  On the shipped LF
+    dictionaries this truncates the last digit of every count, which is why
+    the JS-host goldens carry counts like 2733276 for the on-disk value
+    27332769.  Lines whose newline sits at buffer index ≤1 are skipped
+    (``if i > 1``).  The Node loader flushes a trailing newline
+    (nodejs/SpellcheckerWasm.ts:54-88), emulated here when missing.
+    """
+    if not data.endswith(b"\n"):
+        data += b"\n"
+    cursor = 0
+    for i, ch in enumerate(data):
+        if ch == 0x0A:
+            if i > 1:
+                chunk = data[cursor:i - 1].decode("utf-8")
+                if is_bigram:
+                    kernel.write_line_to_bigram_dictionary(chunk, " ")
+                else:
+                    kernel.write_line_to_dictionary(chunk, " ")
+            cursor = i + 1
+
+
+class SymSpellKernel:
+    def __init__(self, dictionary_edit_distance: int = 2,
+                 prefix_length: int = 7, count_threshold: int = 1) -> None:
+        self.dictionary_edit_distance = dictionary_edit_distance
+        self.prefix_length = prefix_length
+        self.count_threshold = count_threshold
+        self.max_dictionary_word_length = 0
+        self.deletes: dict[str, list[str]] = {}
+        self.words: dict[str, int] = {}
+        self.below_threshold_words: dict[str, int] = {}
+        self.bigrams: dict[str, int] = {}
+        self.bigram_count_min = _USIZE_MAX
+
+    # ------------------------------------------------------------------
+    # ingestion (sym_spell.rs:109-187)
+    # ------------------------------------------------------------------
+    def write_line_to_dictionary(self, line: str, separator: str = " ") -> None:
+        parts = line.split(separator)
+        if len(parts) < 2:
+            return
+        self.create_dictionary_entry(parts[0], _parse_usize(parts[1]))
+
+    def write_line_to_bigram_dictionary(self, line: str, separator: str = " ") -> None:
+        parts = line.split(separator)
+        key = parts[0] + " " + parts[1]
+        count = _parse_usize(parts[2])
+        self.bigrams[key] = count
+        if count < self.bigram_count_min:
+            self.bigram_count_min = count
+
+    def create_dictionary_entry(self, key: str, count: int) -> bool:
+        if self.count_threshold > 1 and key in self.below_threshold_words:
+            prev = self.below_threshold_words[key]
+            count = prev + count if _USIZE_MAX - prev > count else _USIZE_MAX
+            if count >= self.count_threshold:
+                del self.below_threshold_words[key]
+            else:
+                self.below_threshold_words[key] = count
+                return False
+        elif key in self.words:
+            prev = self.words[key]
+            self.words[key] = prev + count if _USIZE_MAX - prev > count else _USIZE_MAX
+            return False
+        elif count < self.count_threshold:
+            self.below_threshold_words[key] = count
+            return False
+
+        if len(key) > self.max_dictionary_word_length:
+            self.max_dictionary_word_length = len(key)
+        # create_deletes (sym_spell.rs:243-261) inserts the prefix posting
+        # directly AND via the returned set — the duplicate is preserved to
+        # keep posting iteration order identical.
+        key_len = len(key)
+        prefix = key[:self.prefix_length] if key_len > self.prefix_length else key
+        self.deletes.setdefault(prefix, []).append(key)
+        delete_set = generate_deletes(key, self.dictionary_edit_distance,
+                                      self.prefix_length)
+        for d in delete_set:
+            self.deletes.setdefault(d, []).append(key)
+        self.words[key] = count
+        return True
+
+    # ------------------------------------------------------------------
+    # lookup (sym_spell.rs:286-517)
+    # ------------------------------------------------------------------
+    def lookup(self, input_term: str, verbosity: Verbosity = Verbosity.CLOSEST,
+               max_edit_distance: int = 2, include_unknown: bool = False,
+               include_self: bool = False) -> list[SuggestItem]:
+        assert max_edit_distance <= self.dictionary_edit_distance
+        input_len = len(input_term)
+        suggestions: list[SuggestItem] = []
+
+        def end(sugg: list[SuggestItem]) -> list[SuggestItem]:
+            if include_unknown and not sugg:
+                sugg.append(SuggestItem(input_term, max_edit_distance + 1, 0))
+            return sugg
+
+        if (input_len < max_edit_distance
+                or input_len - max_edit_distance > self.max_dictionary_word_length):
+            return end(suggestions)
+
+        if input_term in self.words:
+            if include_self:
+                suggestions.append(SuggestItem(input_term, 0, self.words[input_term]))
+            if verbosity != Verbosity.ALL:
+                return end(suggestions)
+
+        if max_edit_distance == 0:
+            return end(suggestions)
+
+        deletes_considered: set[str] = set()
+        suggestions_considered: set[str] = {input_term}
+
+        max_edit_distance2 = max_edit_distance
+        candidate_pointer = 0
+        candidates: list[str] = []
+
+        input_prefix_len = input_len
+        if input_prefix_len > self.prefix_length:
+            input_prefix_len = self.prefix_length
+            candidates.append(input_term[:input_prefix_len])
+        else:
+            candidates.append(input_term)
+
+        while candidate_pointer < len(candidates):
+            candidate = candidates[candidate_pointer]
+            candidate_pointer += 1
+            candidate_len = len(candidate)
+            len_diff = input_prefix_len - candidate_len
+            if len_diff > max_edit_distance2:
+                if verbosity == Verbosity.ALL:
+                    continue
+                break
+
+            for suggestion in self.deletes.get(candidate, ()):
+                if suggestion == input_term:
+                    continue
+                suggestion_len = len(suggestion)
+                if ((suggestion_len > input_len
+                     and suggestion_len - input_len > max_edit_distance2)
+                        or suggestion_len < candidate_len
+                        or (suggestion_len == candidate_len
+                            and suggestion != candidate)):
+                    continue
+                suggestion_prefix_len = min(suggestion_len, self.prefix_length)
+                if (suggestion_prefix_len > input_prefix_len
+                        and suggestion_prefix_len - candidate_len > max_edit_distance2):
+                    continue
+
+                if candidate_len == 0:
+                    distance = max(input_len, suggestion_len)
+                    if distance > max_edit_distance2:
+                        continue
+                    if suggestion in suggestions_considered:
+                        continue
+                    suggestions_considered.add(suggestion)
+                elif suggestion_len == 1:
+                    # inverted-contains reference quirk (sym_spell.rs:430-436)
+                    distance = input_len if suggestion[0] in input_term else input_len - 1
+                elif self._should_skip_dp(suggestion, input_term, candidate_len,
+                                          suggestion_len, input_len,
+                                          max_edit_distance):
+                    continue
+                else:
+                    if verbosity != Verbosity.ALL and not self._delete_in_suggestion_prefix(
+                            candidate, suggestion):
+                        continue
+                    if suggestion in suggestions_considered:
+                        continue
+                    suggestions_considered.add(suggestion)
+                    d = osa_distance_max(input_term, suggestion, max_edit_distance2)
+                    if d is None:
+                        continue
+                    distance = d
+
+                if distance <= max_edit_distance2:
+                    suggestion_ct = self.words.get(suggestion, 0)
+                    si = SuggestItem(suggestion, distance, suggestion_ct)
+                    if suggestions:
+                        if verbosity == Verbosity.CLOSEST:
+                            if distance < max_edit_distance2:
+                                suggestions.clear()
+                        elif verbosity == Verbosity.TOP:
+                            if (distance < max_edit_distance2
+                                    or suggestion_ct > suggestions[0].count):
+                                max_edit_distance2 = distance
+                                suggestions[0] = si
+                            continue
+                    if verbosity != Verbosity.ALL:
+                        max_edit_distance2 = distance
+                    suggestions.append(si)
+
+            # candidate expansion BFS (sym_spell.rs:485-506)
+            if len_diff < max_edit_distance and candidate_len <= self.prefix_length:
+                if verbosity != Verbosity.ALL and len_diff >= max_edit_distance2:
+                    continue
+                for i in range(candidate_len):
+                    delete = candidate[:i] + candidate[i + 1:]
+                    if delete not in deletes_considered:
+                        deletes_considered.add(delete)
+                        candidates.append(delete)
+
+        if len(suggestions) > 1:
+            # stable sort, distance DESC then count DESC (sym_spell.rs:508-515)
+            suggestions.sort(key=lambda s: (-s.distance, -s.count))
+        return end(suggestions)
+
+    def _should_skip_dp(self, suggestion: str, input_term: str,
+                        candidate_len: int, suggestion_len: int,
+                        input_len: int, max_edit_distance: int) -> bool:
+        """``should_continue`` closure (sym_spell.rs:349-377): when the
+        prefix consumed all allowed edits and the suffixes share no
+        identical/transposed tail, distance must exceed the max — skip DP.
+        """
+        m = min(input_len, suggestion_len)
+        if (self.prefix_length - max_edit_distance == candidate_len
+                and m > self.prefix_length):
+            m -= self.prefix_length
+            i = input_len + 1 - m
+            j = suggestion_len + 1 - m
+            k = input_len - m
+            ln = suggestion_len - m
+            # reference quirk: the suffix comparison slices BYTES at
+            # codepoint-derived indices (sym_spell.rs:367) while the
+            # transpose window uses codepoint indexing (:368-369)
+            if (input_term.encode("utf-8")[i:] != suggestion.encode("utf-8")[j:]
+                    or (m > 0 and input_term[k] != suggestion[ln]
+                        and (input_term[k - 1] != suggestion[ln]
+                             or input_term[k] != suggestion[ln - 1]))):
+                return True
+        return False
+
+    def _delete_in_suggestion_prefix(self, delete: str, suggestion: str) -> bool:
+        """sym_spell.rs:777-798 — with string-keyed postings this only ever
+        rejects hash collisions (none), kept for structural parity."""
+        if not delete:
+            return True
+        suggestion_len = min(len(suggestion), self.prefix_length)
+        j = 0
+        for ch in delete:
+            while j < suggestion_len and ch != suggestion[j]:
+                j += 1
+            if j == suggestion_len:
+                return False
+        return True
+
+    # ------------------------------------------------------------------
+    # lookup_compound (sym_spell.rs:523-676)
+    # ------------------------------------------------------------------
+    def lookup_compound(self, input_text: str,
+                        max_edit_distance: int = 2) -> list[SuggestItem]:
+        term_list = parse_words(input_text)
+        suggestion_parts: list[SuggestItem] = []
+
+        last_combi = False
+        for i, term in enumerate(term_list):
+            suggestions = self.lookup(term, Verbosity.TOP, max_edit_distance,
+                                      False, True)
+
+            if i > 0 and not last_combi:
+                combi = term_list[i - 1] + term
+                suggestions_combi = self.lookup(combi, Verbosity.TOP,
+                                                max_edit_distance, False, True)
+                if suggestions_combi:
+                    best1 = suggestion_parts[-1]
+                    if suggestions:
+                        best2 = suggestions[0]
+                    else:
+                        # estimated unknown-word stats (sym_spell.rs:543-550)
+                        best2 = SuggestItem(term, max_edit_distance + 1,
+                                            int(10.0 / _pow10_usize(len(term))) if len(term) < 300 else 0)
+                    distance = best1.distance + best2.distance
+                    sc = suggestions_combi[0]
+                    if (sc.distance + 1 < distance
+                            or (sc.distance + 1 == distance
+                                and sc.count > int(best1.count / N * best2.count))):
+                        sc.distance += 1
+                        suggestion_parts.pop()
+                        suggestion_parts.append(sc)
+                        last_combi = True
+                        continue
+
+            last_combi = False
+
+            term_len = len(term)
+            if suggestions and (suggestions[0].distance == 0 or term_len == 1):
+                suggestion_parts.append(suggestions[0])
+            else:
+                best_split: SuggestItem | None = None
+                if suggestions:
+                    best_split = suggestions[0]
+                if term_len > 1:
+                    for j in range(1, term_len):
+                        part1, part2 = term[:j], term[j:]
+                        suggestions1 = self.lookup(part1, Verbosity.TOP,
+                                                   max_edit_distance, False, True)
+                        if not suggestions1:
+                            continue
+                        suggestions2 = self.lookup(part2, Verbosity.TOP,
+                                                   max_edit_distance, False, True)
+                        if not suggestions2:
+                            continue
+                        split_term = suggestions1[0].term + " " + suggestions2[0].term
+                        d = osa_distance_max(term, split_term, max_edit_distance)
+                        distance2 = max_edit_distance + 1 if d is None else d
+                        if best_split is not None:
+                            if distance2 > best_split.distance:
+                                continue
+                            if distance2 < best_split.distance:
+                                best_split = None
+                        split = SuggestItem(split_term, distance2, 0)
+                        if split_term in self.bigrams:
+                            split.count = self.bigrams[split_term]
+                            term_compare = suggestions1[0].term + suggestions2[0].term
+                            if suggestions:
+                                if term == term_compare:
+                                    split.count = max(split.count, suggestions[0].count)
+                                elif (suggestions1[0].term == suggestions[0].term
+                                      or suggestions2[0].term == suggestions[0].term):
+                                    split.count = max(split.count,
+                                                      suggestions[0].count + 1)
+                            elif term == term_compare:
+                                split.count = max(split.count,
+                                                  max(suggestions1[0].count,
+                                                      suggestions2[0].count + 1))
+                        else:
+                            # Naive Bayes count estimate (sym_spell.rs:637)
+                            split.count = min(self.bigram_count_min,
+                                              int(suggestions1[0].count / N
+                                                  * suggestions2[0].count))
+                        if best_split is None or split.count > best_split.count:
+                            best_split = split
+                    if best_split is not None:
+                        suggestion_parts.append(best_split)
+                    else:
+                        # transposed-args reference quirk (sym_spell.rs:648)
+                        suggestion_parts.append(SuggestItem(
+                            term, 10 // _pow10_usize(term_len),
+                            max_edit_distance + 1))
+                else:
+                    suggestion_parts.append(SuggestItem(
+                        term, 10 // _pow10_usize(term_len),
+                        max_edit_distance + 1))
+
+        count = N
+        s_parts: list[str] = []
+        for part in suggestion_parts:
+            s_parts.append(part.term)
+            count *= part.count / N
+        joined = " ".join(s_parts)
+        d = osa_distance_max(input_text, joined, _USIZE_MAX)
+        return [SuggestItem(joined, 0 if d is None else d, int(count))]
