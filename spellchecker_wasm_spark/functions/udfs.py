@@ -1,0 +1,71 @@
+"""Arrow-batched pandas UDFs bridging the parity kernels into Spark.
+
+These are the ONLY places Python executes in the distributed plans
+(input_hint mandate: vectorized pandas/Arrow UDFs, no per-row Python).
+Everything else in the operators is built-in Catalyst expressions.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from ..kernels.deletes import generate_deletes, query_deletes
+from ..kernels.distance_np import osa_batch
+from ..kernels.text import parse_words
+
+
+def osa_distance_udf(max_distance: int):
+    """Column function: bounded Damerau-OSA distance, NULL when above the
+    bound — the reference's verification join-filter (sym_spell.rs:445-450)
+    as one vectorized numpy batch per Arrow chunk."""
+
+    @pandas_udf(T.IntegerType())
+    def _osa(s1: pd.Series, s2: pd.Series) -> pd.Series:
+        d = osa_batch(s1.tolist(), s2.tolist(), max_distance)
+        out = pd.Series(d, index=s1.index, dtype="int64")
+        return out.where(out >= 0, other=None).astype("Int32")
+
+    return _osa
+
+
+def generate_deletes_udf(max_edit_distance: int = 2, prefix_length: int = 7):
+    """Column function: dictionary-side blocking keys (create_deletes,
+    sym_spell.rs:243-261) as array<string> — explode downstream."""
+
+    @pandas_udf(T.ArrayType(T.StringType()))
+    def _deletes(terms: pd.Series) -> pd.Series:
+        return terms.map(lambda t: sorted(
+            generate_deletes(t, max_edit_distance, prefix_length))
+            if t is not None else [])
+
+    return _deletes
+
+
+def query_deletes_udf(max_edit_distance: int = 2, prefix_length: int = 7):
+    """Column function: query-side candidate keys (lookup BFS,
+    sym_spell.rs:334-345,485-506) as array<string>."""
+
+    @pandas_udf(T.ArrayType(T.StringType()))
+    def _deletes(terms: pd.Series) -> pd.Series:
+        return terms.map(lambda t: sorted(
+            query_deletes(t, max_edit_distance, prefix_length))
+            if t is not None else [])
+
+    return _deletes
+
+
+@pandas_udf(T.ArrayType(T.StringType()))
+def parse_words_udf(texts: pd.Series) -> pd.Series:
+    """Reference-quirk tokenizer (sym_spell.rs:191-214) as array<string>.
+    Regex cannot express the leading-separator quirk; the kernel scan runs
+    per batch."""
+    return texts.map(lambda t: parse_words(t) if t is not None else [])
+
+
+def clean_tokens(col):
+    """Expression: strip the tokenizer's leading-separator quirk for the
+    stages that want plain terms (blocking on web-page tokens)."""
+    return F.regexp_replace(col, r"^[^\pL_]+", "")

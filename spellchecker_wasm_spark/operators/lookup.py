@@ -1,0 +1,117 @@
+"""Distributed SymSpell lookup — the reference's ``lookup``
+(sym_spell.rs:286-517) re-expressed set-oriented over DataFrames.
+
+Where the reference runs a per-query BFS with branch-and-bound
+(max_edit_distance2 shrinking, sym_spell.rs:454-477), the set-oriented plan
+computes every candidate ≤ max_edit_distance and applies the verbosity
+policy as a window — provably the same result set because the pruned
+branches can only contain suggestions at distances above the eventual
+minimum (SURVEY.md §2.5 "early-termination scan order").
+
+Reference quirks preserved:
+* 1-codepoint suggestions score ``input_len`` — the inverted-contains
+  branch (sym_spell.rs:430-436) always sees a suggestion char contained in
+  the input when postings are string-keyed, and the candidate_len==0 branch
+  (:424-429) agrees (max(input_len, 1) == input_len);
+* exact dictionary hits short-circuit for verbosity != All (:311-319):
+  such queries emit only the self row (when include_self);
+* include_unknown synthesizes (query, med+1, 0) for empty results (:298-303).
+
+Known deviation (documented): result ties at (distance, count) are broken
+by term ASC — the reference's winner depends on HashMap posting order,
+which is not meaningful to reproduce.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..functions.udfs import generate_deletes_udf, osa_distance_udf, query_deletes_udf
+from ..kernels.symspell import Verbosity
+
+
+def distributed_lookup(queries: DataFrame, words: DataFrame,
+                       verbosity: Verbosity = Verbosity.CLOSEST,
+                       max_edit_distance: int = 2, prefix_length: int = 7,
+                       include_unknown: bool = False,
+                       include_self: bool = False,
+                       broadcast_words: bool = True) -> DataFrame:
+    """queries(query) × words(term, count) →
+    (query, term, distance, count, rank).
+
+    ``broadcast_words=True`` broadcasts the dictionary + its delete index —
+    the right plan for dictionary-vs-corpus spelling (dictionaries are
+    ~10^5-10^6 rows; the corpus side is the 10^12 one).  Set False to
+    shuffle-join when both sides are huge.
+    """
+    max_dict_len = words.agg(F.max(F.length("term"))).first()[0] or 0
+
+    q = queries.select("query").where(F.col("query").isNotNull()).distinct()
+    q = q.withColumn("q_len", F.length("query"))
+    # early exits (sym_spell.rs:306-308)
+    eligible = q.where((F.col("q_len") >= max_edit_distance)
+                       & (F.col("q_len") - max_edit_distance <= max_dict_len))
+
+    # exact match runs AFTER the length guards (sym_spell.rs:306 precedes
+    # :311): a too-short query never emits its self row
+    exact = (eligible.join(words.withColumnRenamed("term", "query"), "query")
+             .select("query", F.col("query").alias("term"),
+                     F.lit(0).alias("distance"), F.col("count")))
+
+    blocks = words.select(
+        "term", "count",
+        F.explode(generate_deletes_udf(max_edit_distance, prefix_length)(
+            F.col("term"))).alias("block_key"))
+    if broadcast_words:
+        blocks = F.broadcast(blocks)
+
+    cand = eligible.select(
+        "query", "q_len",
+        F.explode(query_deletes_udf(max_edit_distance, prefix_length)(
+            F.col("query"))).alias("block_key"))
+
+    joined = (cand.join(blocks, "block_key")
+              .where(F.col("term") != F.col("query"))
+              .where(~((F.length("term") > F.col("q_len"))
+                       & (F.length("term") - F.col("q_len") > max_edit_distance))))
+    pairs = joined.select("query", "q_len", "term", "count").dropDuplicates(
+        ["query", "term"])
+
+    osa = osa_distance_udf(max_edit_distance)
+    scored = (pairs.withColumn(
+        "distance",
+        F.when(F.length("term") == 1, F.col("q_len"))
+         .otherwise(osa(F.col("query"), F.col("term"))))
+        .where(F.col("distance").isNotNull()
+               & (F.col("distance") <= max_edit_distance))
+        .select("query", "term", "distance", "count"))
+
+    if verbosity != Verbosity.ALL:
+        # exact-match short circuit: drop fuzzy candidates for known queries
+        scored = scored.join(exact.select("query"), "query", "left_anti")
+        results = scored
+        if include_self:
+            results = results.unionByName(exact)
+    else:
+        results = scored
+        if include_self:
+            results = results.unionByName(exact)
+
+    w = Window.partitionBy("query").orderBy(
+        F.asc("distance"), F.desc("count"), F.asc("term"))
+    results = results.withColumn("rank", F.row_number().over(w))
+    if verbosity == Verbosity.TOP:
+        results = results.where(F.col("rank") == 1)
+    elif verbosity == Verbosity.CLOSEST:
+        min_d = F.min("distance").over(Window.partitionBy("query"))
+        results = results.withColumn("_md", min_d).where(
+            F.col("distance") == F.col("_md")).drop("_md")
+
+    if include_unknown:
+        missing = (q.join(results.select("query"), "query", "left_anti")
+                   .select("query", F.col("query").alias("term"),
+                           F.lit(max_edit_distance + 1).alias("distance"),
+                           F.lit(0).cast("long").alias("count"),
+                           F.lit(1).alias("rank")))
+        results = results.unionByName(missing)
+    return results

@@ -1,0 +1,165 @@
+"""Spark operator tests: distributed plans must agree with the
+golden-verified pure-Python kernel."""
+
+import gzip
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from spellchecker_wasm_spark.kernels import SymSpellKernel, Verbosity, osa_distance_max
+from spellchecker_wasm_spark.operators import (
+    aggregate_word_counts, build_blocks, candidate_pairs, cap_hot_blocks,
+    connected_components, distributed_lookup, parse_dictionary_lines,
+    score_pairs)
+
+DICT = "/root/reference/lib/frequency_dictionary_en_82_765.txt.gz"
+N_LINES = 4000
+
+
+@pytest.fixture(scope="module")
+def dict_lines():
+    with gzip.open(DICT, "rt", encoding="utf-8") as f:
+        return [next(f).rstrip("\n") for _ in range(N_LINES)]
+
+
+@pytest.fixture(scope="module")
+def kernel(dict_lines):
+    k = SymSpellKernel(2, 7, 1)
+    for line in dict_lines:
+        k.write_line_to_dictionary(line, " ")
+    return k
+
+
+@pytest.fixture(scope="module")
+def words_df(spark, dict_lines):
+    lines = spark.createDataFrame([Row(value=l) for l in dict_lines])
+    return aggregate_word_counts(parse_dictionary_lines(lines)).cache()
+
+
+def test_parse_dictionary_lines(spark, kernel, words_df):
+    got = {r["term"]: r["count"] for r in words_df.collect()}
+    assert got == kernel.words
+
+
+def test_blocks_match_kernel_deletes(spark, words_df, kernel):
+    from spellchecker_wasm_spark.kernels.deletes import generate_deletes
+    sample = words_df.limit(50)
+    blocks = build_blocks(sample, carry_cols=("count",))
+    got = {}
+    for r in blocks.collect():
+        got.setdefault(r["term"], set()).add(r["block_key"])
+    for term, keys in got.items():
+        assert keys == generate_deletes(term, 2, 7), term
+
+
+QUERIES = ["mispelle", "acheive", "the", "thre", "xyzzyq", "of", "a",
+           "widseth", "соль", "offe", "ofthe"]
+
+
+@pytest.mark.parametrize("verbosity,include_self,include_unknown", [
+    (Verbosity.TOP, True, True),
+    (Verbosity.CLOSEST, False, False),
+    (Verbosity.ALL, True, True),
+])
+def test_distributed_lookup_matches_kernel(spark, words_df, kernel,
+                                           verbosity, include_self,
+                                           include_unknown):
+    qdf = spark.createDataFrame([Row(query=q) for q in QUERIES])
+    res = distributed_lookup(qdf, words_df, verbosity, 2,
+                             include_unknown=include_unknown,
+                             include_self=include_self)
+    got = {}
+    for r in res.collect():
+        got.setdefault(r["query"], set()).add(
+            (r["term"], r["distance"], r["count"]))
+    for q in QUERIES:
+        want = kernel.lookup(q, verbosity, 2, include_unknown, include_self)
+        want_set = {(s.term, s.distance, s.count) for s in want}
+        if verbosity == Verbosity.TOP and want:
+            # tie-break deviation: compare (distance, count) of the single row
+            gq = got.get(q, set())
+            assert len(gq) == len(want_set) == 1, q
+            gt, gd, gc = next(iter(gq))
+            wt, wd, wc = next(iter(want_set))
+            assert (gd, gc) == (wd, wc), q
+        else:
+            assert got.get(q, set()) == want_set, q
+
+
+def test_candidate_pairs_lossless_blocking(spark):
+    terms = ["spark", "spork", "sparc", "shark", "spark!", "banana",
+             "bananna", "banan", "query", "suery", "qüery", "completely",
+             "completley", "different"]
+    tdf = spark.createDataFrame([Row(term=t) for t in terms])
+    blocks = build_blocks(tdf)
+    pairs = candidate_pairs(blocks)
+    scored = score_pairs(pairs, max_distance=2)
+    got = {(r["term_a"], r["term_b"], r["distance"]) for r in scored.collect()}
+    want = set()
+    for i, a in enumerate(terms):
+        for b in terms[i + 1:]:
+            lo, hi = sorted([a, b])
+            d = osa_distance_max(lo, hi, 2)
+            if d is not None and lo != hi:
+                want.add((lo, hi, d))
+    assert got == want
+
+
+def test_cap_hot_blocks(spark):
+    rows = [Row(term=f"t{i}", block_key="hot") for i in range(20)]
+    rows += [Row(term="a", block_key="cold"), Row(term="b", block_key="cold")]
+    blocks = spark.createDataFrame(rows)
+    capped, dropped = cap_hot_blocks(blocks, max_block_size=10)
+    assert capped.count() == 2
+    d = dropped.collect()
+    assert len(d) == 1 and d[0]["block_key"] == "hot" and d[0]["block_size"] == 20
+
+
+def _brute_components(edges, nodes):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # path-compress fully, then map each component to its min member
+    comp = {}
+    for n in nodes:
+        comp.setdefault(find(n), []).append(n)
+    return {n: min(members) for members in comp.values() for n in members}
+
+
+def test_connected_components_random_graph(spark):
+    import random
+    rng = random.Random(42)
+    nodes = list(range(120))
+    edges = [(rng.randrange(120), rng.randrange(120)) for _ in range(90)]
+    edf = spark.createDataFrame([Row(id_a=a, id_b=b) for a, b in edges])
+    ndf = spark.createDataFrame([Row(node=n) for n in nodes])
+    got = {r["node"]: r["component"]
+           for r in connected_components(edf, nodes=ndf).collect()}
+    assert got == _brute_components(edges, nodes)
+
+
+def test_connected_components_long_chain(spark):
+    # path graph: worst case for naive propagation, fine for star rounds
+    edges = [(i, i + 1) for i in range(40)]
+    edf = spark.createDataFrame([Row(id_a=a, id_b=b) for a, b in edges])
+    got = connected_components(edf).collect()
+    assert {r["component"] for r in got} == {0}
+    assert len(got) == 41
+
+
+def test_connected_components_strings(spark):
+    edf = spark.createDataFrame([Row(id_a="banana", id_b="bananna"),
+                                 Row(id_a="bananna", id_b="banan"),
+                                 Row(id_a="zed", id_b="zed2")])
+    got = {r["node"]: r["component"] for r in connected_components(edf).collect()}
+    assert got == {"banana": "banan", "bananna": "banan", "banan": "banan",
+                   "zed": "zed", "zed2": "zed"}
