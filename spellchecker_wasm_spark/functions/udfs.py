@@ -68,4 +68,4 @@ def parse_words_udf(texts: pd.Series) -> pd.Series:
 def clean_tokens(col):
     """Expression: strip the tokenizer's leading-separator quirk for the
     stages that want plain terms (blocking on web-page tokens)."""
-    return F.regexp_replace(col, r"^[^\pL_]+", "")
+    return F.regexp_replace(col, r"^[^\p{L}_]+", "")

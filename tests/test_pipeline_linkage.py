@@ -1,0 +1,88 @@
+"""North-star pipeline test: synthetic Common-Crawl pages → blocking →
+scoring → clustering, pairwise F1 ≥ 0.99 (BASELINE.json metric), with
+resume-from-checkpoint and extraction-invariant checks."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from spellchecker_wasm_spark.pipeline import (
+    LinkageConfig, StageWriter, pairwise_f1, run_linkage, synthesize_pages)
+from spellchecker_wasm_spark.pipeline.webpages import extract_text_from_html
+
+
+@pytest.fixture(scope="module")
+def pages_and_labels(spark):
+    pages_pdf, labels_pdf = synthesize_pages(n_entities=150, seed=42)
+    return (spark.createDataFrame(pages_pdf).cache(),
+            spark.createDataFrame(labels_pdf).cache())
+
+
+def test_generator_determinism():
+    a, _ = synthesize_pages(n_entities=20, seed=7)
+    b, _ = synthesize_pages(n_entities=20, seed=7)
+    assert a.equals(b)
+    c, _ = synthesize_pages(n_entities=20, seed=8)
+    assert not a["url"].equals(c["url"])
+
+
+def test_extraction_invariant_byte_identical():
+    pages, _ = synthesize_pages(n_entities=25, seed=3)
+    for _, row in pages.iterrows():
+        assert extract_text_from_html(row["html"]) == row["text"]
+
+
+def test_input_schema_matches_hint(pages_and_labels):
+    pages, _ = pages_and_labels
+    assert dict(pages.dtypes) == {"url": "string", "warc_ts": "timestamp",
+                                  "html": "binary", "text": "string",
+                                  "lang": "string"}
+
+
+def test_linkage_f1(pages_and_labels):
+    pages, labels = pages_and_labels
+    result = run_linkage(pages.sparkSession, pages)
+    scores = pairwise_f1(result["clusters"], labels)
+    assert scores["f1"] >= 0.99, scores
+    assert scores["recall"] == 1.0, scores  # blocking is lossless at ≤2 edits
+
+
+def test_linkage_resume_from_checkpoint(spark, pages_and_labels, tmp_path):
+    pages, labels = pages_and_labels
+    writer = StageWriter(spark, str(tmp_path), "run1")
+    r1 = run_linkage(spark, pages, writer=writer)
+    f1_first = pairwise_f1(r1["clusters"], labels)["f1"]
+    events = [m["event"] for m in writer.metrics()]
+    assert events.count("write") == 3  # blocks, scored_pairs, clusters
+
+    # resume: same run_id must read back, not recompute
+    writer2 = StageWriter(spark, str(tmp_path), "run1")
+    r2 = run_linkage(spark, pages, writer=writer2)
+    events2 = [m["event"] for m in writer2.metrics() if m["event"] == "resume"]
+    assert len(events2) == 3
+    assert pairwise_f1(r2["clusters"], labels)["f1"] == f1_first
+
+    # lineage carries per-partition row counts
+    writes = [m for m in writer.metrics() if m["event"] == "write"]
+    assert all("partitions" in m and m["row_count"] > 0 for m in writes)
+
+
+def test_extraction_invariant_enforced(spark, pages_and_labels):
+    pages, _ = pages_and_labels
+    corrupted = pages.withColumn(
+        "text", F.concat(F.col("text"), F.lit("!")))
+    with pytest.raises(ValueError, match="invariant"):
+        run_linkage(spark, corrupted)
+
+
+def test_multibyte_entities_clustered(pages_and_labels):
+    pages, labels = pages_and_labels
+    ru = pages.where(F.col("lang") == "ru")
+    assert ru.count() > 0  # seed produces a Russian minority
+    result = run_linkage(pages.sparkSession, pages,
+                         LinkageConfig(verify_extraction=False))
+    ru_urls = {r["url"] for r in ru.select("url").collect()}
+    comp = {r["node"]: r["component"] for r in result["clusters"].collect()}
+    truth = labels.collect()
+    for row in truth:
+        if row["url_a"] in ru_urls:
+            assert comp[row["url_a"]] == comp[row["url_b"]]
