@@ -1,0 +1,656 @@
+"""Driver-contract query catalog: every operator from SURVEY.md §2 (plus
+the training-data-pipeline operators) as a pair of
+
+  * a Spark builder  (spark, sf_dir) -> DataFrame
+  * an ANSI-SQL oracle string for DuckDB over the same parquet views
+
+Column names and types are aligned pairwise (the driver sorts columns by
+name and value-hashes).  Floating-point outputs are either ratios/products
+of exactly-representable integers (deterministic IEEE in both engines) or
+integer cents — never order-dependent double sums.
+
+Token definition shared by both sides: split on single space, drop empties.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .functions.udfs import generate_deletes_udf
+from .kernels.symspell import Verbosity
+from .operators.blocking import build_blocks
+from .operators.clustering import connected_components
+from .operators.lookup import distributed_lookup
+from .operators.pairs import candidate_pairs
+from .operators.scoring import score_pairs
+
+TABLES = ("region nation customer supplier part orders lineitem events "
+          "documents embeddings").split()
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _tokens(spark, sf_dir) -> DataFrame:
+    return (load(spark, sf_dir, "documents")
+            .where(F.col("text").isNotNull())
+            .select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+            .where(F.col("term") != ""))
+
+
+_SQL_TOKS = ("SELECT doc_id, unnest(string_split(text, ' ')) AS term "
+             "FROM documents WHERE text IS NOT NULL")
+_SQL_TOKS_NE = f"SELECT * FROM ({_SQL_TOKS}) WHERE term <> ''"
+
+# recursive delete-neighborhood CTE — parity with generate_deletes()
+# (create_deletes/edits, sym_spell.rs:216-261): prefix-truncate to 7, then
+# up to 2 single-codepoint deletions; recursion stops at 1-BYTE subjects
+# (strlen = bytes); '' additionally keyed for terms of <=2 codepoints.
+_SQL_BLOCKS = f"""
+toks AS ({_SQL_TOKS_NE}),
+terms AS (SELECT DISTINCT term FROM toks),
+pos AS (SELECT unnest(range(1, 64)) AS i),
+seed AS (SELECT term,
+                CASE WHEN length(term) > 7 THEN substr(term, 1, 7)
+                     ELSE term END AS k
+         FROM terms),
+d(term, k, depth) AS (
+    SELECT term, k, 0 FROM seed
+    UNION
+    SELECT d.term, concat(substr(d.k, 1, pos.i - 1), substr(d.k, pos.i + 1)),
+           d.depth + 1
+    FROM d, pos
+    WHERE d.depth < 2 AND strlen(d.k) > 1 AND pos.i <= length(d.k)
+),
+blocks AS (
+    SELECT DISTINCT term, k AS block_key FROM d
+    UNION
+    SELECT DISTINCT term, '' AS block_key FROM terms WHERE length(term) <= 2
+)"""
+
+_SQL_CAND_PAIRS = f"""WITH RECURSIVE {_SQL_BLOCKS},
+cand AS (
+    SELECT DISTINCT a.term AS term_a, b.term AS term_b
+    FROM blocks a JOIN blocks b
+      ON a.block_key = b.block_key AND a.term < b.term
+     AND abs(length(a.term) - length(b.term)) <= 2
+)"""
+
+
+def _distinct_terms(spark, sf_dir):
+    return _tokens(spark, sf_dir).select("term").distinct()
+
+
+def _q_word_counts(spark, sf_dir):
+    return (_tokens(spark, sf_dir).groupBy("term")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .where(F.col("cnt") >= 2))
+
+
+_O_WORD_COUNTS = (f"SELECT term, count(*) AS cnt FROM ({_SQL_TOKS_NE}) "
+                  "GROUP BY term HAVING count(*) >= 2")
+
+
+def _q_bigram_counts(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    arr = F.expr("filter(split(text, ' '), x -> x <> '')")
+    bigrams = (docs.select(arr.alias("arr"))
+               .where(F.size("arr") >= 2)
+               .select(F.explode(F.expr(
+                   "zip_with(slice(arr, 1, size(arr) - 1), "
+                   "slice(arr, 2, size(arr) - 1), "
+                   "(a, b) -> concat(a, ' ', b))")).alias("bigram")))
+    return bigrams.groupBy("bigram").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+_O_BIGRAM_COUNTS = """
+WITH arrs AS (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS l
+              FROM documents WHERE text IS NOT NULL),
+pos AS (SELECT unnest(range(1, 4096)) AS i),
+bg AS (SELECT concat(l[i], ' ', l[i + 1]) AS bigram
+       FROM arrs, pos WHERE pos.i < len(l))
+SELECT bigram, count(*) AS cnt FROM bg GROUP BY bigram
+"""
+
+
+def _q_blocking_keys(spark, sf_dir):
+    return build_blocks(_distinct_terms(spark, sf_dir)).select(
+        "term", "block_key")
+
+
+_O_BLOCKING_KEYS = (f"WITH RECURSIVE {_SQL_BLOCKS} "
+                    "SELECT term, block_key FROM blocks")
+
+
+def _q_candidate_pairs(spark, sf_dir):
+    blocks = build_blocks(_distinct_terms(spark, sf_dir))
+    return candidate_pairs(blocks).select("term_a", "term_b")
+
+
+_O_CAND_PAIRS = _SQL_CAND_PAIRS + " SELECT term_a, term_b FROM cand"
+
+
+def _q_scored_pairs_osa(spark, sf_dir):
+    blocks = build_blocks(_distinct_terms(spark, sf_dir))
+    return (score_pairs(candidate_pairs(blocks), max_distance=2)
+            .select("term_a", "term_b",
+                    F.col("distance").cast("int").alias("distance")))
+
+
+# DuckDB's damerau_levenshtein is unrestricted DL; it equals OSA except on
+# double-edited substrings (CA→ABC) — checked empirically for these tables
+# and guarded by the harness comparison itself.
+_O_SCORED_OSA = (_SQL_CAND_PAIRS +
+                 " SELECT term_a, term_b, CAST(damerau_levenshtein(term_a, "
+                 "term_b) AS INTEGER) AS distance FROM cand "
+                 "WHERE damerau_levenshtein(term_a, term_b) <= 2")
+
+
+def _q_scored_pairs_lev(spark, sf_dir):
+    blocks = build_blocks(_distinct_terms(spark, sf_dir))
+    pairs = candidate_pairs(blocks)
+    return (pairs.select("term_a", "term_b",
+                         F.levenshtein("term_a", "term_b").alias("distance"))
+            .where(F.col("distance") <= 2))
+
+
+_O_SCORED_LEV = (_SQL_CAND_PAIRS +
+                 " SELECT term_a, term_b, CAST(levenshtein(term_a, term_b) "
+                 "AS INTEGER) AS distance FROM cand "
+                 "WHERE levenshtein(term_a, term_b) <= 2")
+
+
+def _q_term_clusters(spark, sf_dir):
+    terms = _distinct_terms(spark, sf_dir)
+    blocks = build_blocks(terms)
+    scored = score_pairs(candidate_pairs(blocks), max_distance=2)
+    cc = connected_components(scored.select("id_a", "id_b"),
+                              nodes=terms)
+    return cc.select(F.col("node").alias("term"),
+                     F.col("component").alias("cluster_id"))
+
+
+_O_TERM_CLUSTERS = _SQL_CAND_PAIRS + """,
+scored AS (SELECT term_a, term_b FROM cand
+           WHERE damerau_levenshtein(term_a, term_b) <= 2),
+e AS (SELECT term_a AS a, term_b AS b FROM scored
+      UNION SELECT term_b, term_a FROM scored),
+reach(a, b) AS (SELECT a, b FROM e
+                UNION SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+comp AS (SELECT a AS term, least(a, min(b)) AS cluster_id
+         FROM reach GROUP BY a)
+SELECT term, cluster_id FROM comp
+UNION ALL
+SELECT term, term AS cluster_id FROM (SELECT DISTINCT term FROM toks)
+WHERE term NOT IN (SELECT term FROM comp)
+"""
+
+
+def _lookup_inputs(spark, sf_dir):
+    words = (_tokens(spark, sf_dir).groupBy("term")
+             .agg(F.count(F.lit(1)).alias("count"))
+             .where(F.length("term") >= 2))
+    probes = (words.where(F.length("term") >= 4)
+              .select(F.expr("substring(term, 1, length(term) - 1)")
+                      .alias("query"))
+              .distinct()
+              .join(words.select(F.col("term").alias("query")), "query",
+                    "left_anti"))
+    return probes, words
+
+
+_SQL_LOOKUP_BASE = f"""
+WITH toks AS ({_SQL_TOKS_NE}),
+words AS (SELECT term, count(*) AS count FROM toks
+          WHERE length(term) >= 2 GROUP BY term),
+probes AS (SELECT DISTINCT substr(term, 1, length(term) - 1) AS query
+           FROM words WHERE length(term) >= 4),
+queries AS (SELECT query FROM probes
+            WHERE query NOT IN (SELECT term FROM words)),
+scored AS (
+    SELECT q.query, w.term,
+           CAST(damerau_levenshtein(q.query, w.term) AS INTEGER) AS distance,
+           w.count
+    FROM queries q JOIN words w
+      ON damerau_levenshtein(q.query, w.term) <= 2 AND w.term <> q.query
+)"""
+
+
+def _q_lookup_closest(spark, sf_dir):
+    probes, words = _lookup_inputs(spark, sf_dir)
+    res = distributed_lookup(probes, words, Verbosity.CLOSEST, 2)
+    return res.select("query", "term",
+                      F.col("distance").cast("int").alias("distance"),
+                      "count")
+
+
+_O_LOOKUP_CLOSEST = _SQL_LOOKUP_BASE + """
+SELECT query, term, distance, count FROM scored s
+WHERE distance = (SELECT min(distance) FROM scored s2
+                  WHERE s2.query = s.query)
+"""
+
+
+def _q_lookup_top(spark, sf_dir):
+    probes, words = _lookup_inputs(spark, sf_dir)
+    res = distributed_lookup(probes, words, Verbosity.TOP, 2)
+    return res.select("query", "term",
+                      F.col("distance").cast("int").alias("distance"),
+                      "count")
+
+
+_O_LOOKUP_TOP = _SQL_LOOKUP_BASE + """
+SELECT query, term, distance, count FROM (
+    SELECT *, row_number() OVER (PARTITION BY query
+        ORDER BY distance ASC, count DESC, term ASC) AS rn FROM scored)
+WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline operators
+# ---------------------------------------------------------------------------
+
+def _q_dedup_exact(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    return (docs.groupBy(F.md5("text").alias("text_md5"))
+            .agg(F.min("doc_id").alias("keep_id"),
+                 F.count(F.lit(1)).alias("n_copies")))
+
+
+_O_DEDUP_EXACT = ("SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, "
+                  "count(*) AS n_copies FROM documents "
+                  "WHERE text IS NOT NULL GROUP BY md5(text)")
+
+
+def _shingles(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    arr = F.expr("filter(split(text, ' '), x -> x <> '')")
+    return (docs.select("doc_id", arr.alias("arr"))
+            .where(F.size("arr") >= 3)
+            .select("doc_id", F.explode(F.expr(
+                "transform(sequence(1, size(arr) - 2), i -> "
+                "concat(element_at(arr, i), ' ', element_at(arr, i + 1), "
+                "' ', element_at(arr, i + 2)))")).alias("sh"))
+            .dropDuplicates(["doc_id", "sh"]))
+
+
+_SQL_SHINGLES = """
+arrs AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
+         FROM documents WHERE text IS NOT NULL),
+pos AS (SELECT unnest(range(1, 4096)) AS i),
+sh AS (SELECT DISTINCT doc_id,
+              concat(l[i], ' ', l[i + 1], ' ', l[i + 2]) AS sh
+       FROM arrs, pos WHERE pos.i + 2 <= len(l))"""
+
+
+def _q_dedup_ngram_jaccard(spark, sf_dir):
+    sh = _shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (a.join(b, (F.col("a.sh") == F.col("b.sh"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .groupBy(F.col("a.doc_id").alias("doc_a"),
+                      F.col("b.doc_id").alias("doc_b"))
+             .agg(F.count(F.lit(1)).alias("c")))
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (inter.join(na, "doc_a").join(nb, "doc_b")
+            .select("doc_a", "doc_b",
+                    (F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
+                     ).alias("jaccard"))
+            .where(F.col("jaccard") >= 0.2))
+
+
+_O_NGRAM_JACCARD = f"""
+WITH {_SQL_SHINGLES},
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT doc_a, doc_b, c * 1.0 / (na.n + nb.n - c) AS jaccard
+FROM inter
+JOIN sizes na ON na.doc_id = doc_a
+JOIN sizes nb ON nb.doc_id = doc_b
+WHERE c * 1.0 / (na.n + nb.n - c) >= 0.2
+"""
+
+_N_MINHASH = 8
+
+
+def _mh_expr(j: int):
+    return F.min(F.conv(F.substring(
+        F.md5(F.concat(F.lit(f"{j}:"), F.col("sh"))), 1, 15), 16, 10)
+        .cast("long")).alias(f"mh_{j}")
+
+
+def _q_minhash_signatures(spark, sf_dir):
+    sh = _shingles(spark, sf_dir)
+    return sh.groupBy("doc_id").agg(*[_mh_expr(j) for j in range(_N_MINHASH)])
+
+
+def _o_minhash(j: int) -> str:
+    return (f"min(CAST(concat('0x', substr(md5(concat('{j}:', sh)), 1, 15)) "
+            f"AS BIGINT)) AS mh_{j}")
+
+
+_O_MINHASH_SIGNATURES = (
+    f"WITH {_SQL_SHINGLES} SELECT doc_id, "
+    + ", ".join(_o_minhash(j) for j in range(_N_MINHASH))
+    + " FROM sh GROUP BY doc_id")
+
+
+def _q_minhash_lsh_dups(spark, sf_dir):
+    sig = _q_minhash_signatures(spark, sf_dir)
+    bands = sig.select("doc_id", F.explode(F.array(*[
+        F.concat_ws("_", F.lit(b), F.col(f"mh_{2 * b}"),
+                    F.col(f"mh_{2 * b + 1}"))
+        for b in range(_N_MINHASH // 2)])).alias("band_key"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (a.join(b, (F.col("a.band_key") == F.col("b.band_key"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct())
+
+
+_O_MINHASH_LSH = (
+    f"WITH {_SQL_SHINGLES}, "
+    "sig AS (SELECT doc_id, "
+    + ", ".join(_o_minhash(j) for j in range(_N_MINHASH))
+    + " FROM sh GROUP BY doc_id), "
+    "bands AS ("
+    + " UNION ALL ".join(
+        f"SELECT doc_id, concat({b}, '_', mh_{2 * b}, '_', mh_{2 * b + 1}) "
+        f"AS band_key FROM sig" for b in range(_N_MINHASH // 2))
+    + ") SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+    "FROM bands a JOIN bands b ON a.band_key = b.band_key "
+    "AND a.doc_id < b.doc_id")
+
+
+def _q_simhash(spark, sf_dir):
+    toks = _tokens(spark, sf_dir)
+    h = F.conv(F.substring(F.md5("term"), 1, 8), 16, 10).cast("long")
+    bits = (toks.select("doc_id", h.alias("h"))
+            .select("doc_id", F.explode(F.expr(
+                "transform(sequence(0, 31), b -> "
+                "named_struct('b', b, 'bit', shiftright(h, b) & 1))"))
+                .alias("s"))
+            .select("doc_id", F.col("s.b").alias("b"),
+                    F.col("s.bit").alias("bit")))
+    weights = (bits.groupBy("doc_id", "b")
+               .agg(F.sum(2 * F.col("bit") - 1).alias("w")))
+    return (weights.groupBy("doc_id")
+            .agg(F.sum(F.when(F.col("w") > 0,
+                              F.expr("shiftleft(CAST(1 AS BIGINT), b)"))
+                       .otherwise(F.lit(0))).alias("simhash")))
+
+
+_O_SIMHASH = f"""
+WITH toks AS ({_SQL_TOKS_NE}),
+hs AS (SELECT doc_id,
+              CAST(concat('0x', substr(md5(term), 1, 8)) AS BIGINT) AS h
+       FROM toks),
+pos AS (SELECT unnest(range(0, 32)) AS b),
+bits AS (SELECT doc_id, b, (h >> b) & 1 AS bit FROM hs, pos),
+weights AS (SELECT doc_id, b, sum(2 * bit - 1) AS w
+            FROM bits GROUP BY doc_id, b)
+SELECT doc_id,
+       sum(CASE WHEN w > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS simhash
+FROM weights GROUP BY doc_id
+"""
+
+
+def _q_embedding_knn(spark, sf_dir):
+    emb = (load(spark, sf_dir, "embeddings")
+           .select("vec_id", F.expr(
+               "transform(embedding, x -> CAST(round(x * 1000) AS BIGINT))")
+               .alias("v")))
+    emb = emb.withColumn("nrm", F.expr(
+        "aggregate(v, 0L, (acc, x) -> acc + x * x)"))
+    q = emb.where(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"))
+    joined = (q.crossJoin(F.broadcast(emb))
+              .where(F.col("vec_id") != F.col("qid"))
+              .withColumn("dot", F.expr(
+                  "aggregate(zip_with(qv, v, (x, y) -> x * y), 0L, "
+                  "(acc, x) -> acc + x)"))
+              .withColumn("cos", F.col("dot")
+                          / (F.sqrt("qn") * F.sqrt("nrm"))))
+    from pyspark.sql import Window
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (joined.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 5)
+            .select("qid", F.col("vec_id").alias("neighbor_id"), "rank"))
+
+
+_O_EMBEDDING_KNN = """
+WITH e AS (SELECT vec_id,
+                  list_transform(embedding,
+                                 x -> CAST(round(x * 1000) AS BIGINT)) AS v
+           FROM embeddings),
+n AS (SELECT vec_id, v, list_sum(list_transform(v, x -> x * x)) AS nrm FROM e),
+j AS (SELECT q.vec_id AS qid, c.vec_id AS neighbor_id,
+             list_sum(list_transform(list_zip(q.v, c.v),
+                                     p -> p[1] * p[2]))
+             / (sqrt(q.nrm) * sqrt(c.nrm)) AS cos
+      FROM n q JOIN n c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < 50)
+SELECT qid, neighbor_id, rank FROM (
+    SELECT qid, neighbor_id,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY cos DESC, neighbor_id ASC) AS rank
+    FROM j)
+WHERE rank <= 5
+"""
+
+_STOPWORDS = ("the", "a")
+
+
+def _q_text_stats(spark, sf_dir):
+    toks = _tokens(spark, sf_dir)
+    return (toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("term").alias("n_distinct"),
+        (F.sum(F.length("term")) / F.count(F.lit(1))).alias("avg_token_len"),
+        (F.sum(F.when(F.col("term").isin(*_STOPWORDS), 1).otherwise(0))
+         / F.count(F.lit(1))).alias("stopword_ratio"))
+        .withColumn("lang_guess",
+                    F.when(F.col("stopword_ratio") >= 0.05, "en")
+                    .otherwise("other")))
+
+
+_O_TEXT_STATS = f"""
+WITH toks AS ({_SQL_TOKS_NE}),
+s AS (SELECT doc_id, count(*) AS n_tokens,
+             count(DISTINCT term) AS n_distinct,
+             sum(length(term)) * 1.0 / count(*) AS avg_token_len,
+             sum(CASE WHEN term IN ('the', 'a') THEN 1 ELSE 0 END) * 1.0
+                 / count(*) AS stopword_ratio
+      FROM toks GROUP BY doc_id)
+SELECT doc_id, n_tokens, n_distinct, avg_token_len, stopword_ratio,
+       CASE WHEN stopword_ratio >= 0.05 THEN 'en' ELSE 'other' END AS lang_guess
+FROM s
+"""
+
+
+def _q_doc_fingerprint(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    return docs.select("doc_id", F.expr(
+        "aggregate(transform(filter(split(text, ''), c -> c <> ''), "
+        "c -> ascii(c)), 0L, (acc, c) -> (acc * 31 + c) % 2147483647)")
+        .alias("fingerprint"))
+
+
+_O_DOC_FINGERPRINT = """
+SELECT doc_id,
+       list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+               list_transform(
+                   list_filter(string_split(text, ''), c -> c <> ''),
+                   c -> CAST(unicode(c) AS BIGINT))),
+           (acc, c) -> (acc * 31 + c) % 2147483647) AS fingerprint
+FROM documents WHERE text IS NOT NULL
+"""
+
+
+def _q_binary_features(spark, sf_dir):
+    """Multimodal plumbing fixture: treat text bytes as an opaque payload;
+    n_bytes + a byte checksum stand in for decoded features (real decode is
+    stubbed — see operators/multimodal.py)."""
+    docs = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    return docs.select(
+        "doc_id", F.octet_length("text").alias("n_bytes"),
+        F.expr("aggregate(transform(filter(split(text, ''), c -> c <> ''), "
+               "c -> ascii(c)), 0L, (acc, c) -> acc + c)").alias("byte_sum"))
+
+
+_O_BINARY_FEATURES = """
+SELECT doc_id, strlen(text) AS n_bytes,
+       list_sum(list_transform(
+           list_filter(string_split(text, ''), c -> c <> ''),
+           c -> CAST(unicode(c) AS BIGINT))) AS byte_sum
+FROM documents WHERE text IS NOT NULL
+"""
+
+
+# ---------------------------------------------------------------------------
+# relational breadth (TPC-H-style + events windows)
+# ---------------------------------------------------------------------------
+
+def _q_tpch_q1(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return (li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum("l_quantity").cast("long").alias("sum_qty"),
+                 F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+                 .alias("sum_base_cents"),
+                 F.sum(F.round(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount")) * 100)
+                       .cast("long")).alias("sum_disc_cents"),
+                 F.count(F.lit(1)).alias("count_order")))
+
+
+_O_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents,
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+           AS sum_disc_cents,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def _q_tpch_q3(spark, sf_dir):
+    cust = load(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    j = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey))
+    return (j.groupBy("o_orderkey")
+            .agg(F.sum(F.round(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount")) * 100)
+                       .cast("long")).alias("revenue_cents"))
+            .orderBy(F.desc("revenue_cents"), F.asc("o_orderkey"))
+            .limit(10))
+
+
+_O_TPCH_Q3 = """
+SELECT o_orderkey,
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+           AS revenue_cents
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey
+ORDER BY revenue_cents DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+def _q_event_sessions(spark, sf_dir):
+    from pyspark.sql import Window
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    marked = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+    return (marked.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum("new_session").alias("n_sessions")))
+
+
+_O_EVENT_SESSIONS = """
+WITH g AS (
+    SELECT user_id,
+           CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) IS NULL
+                     OR epoch(ts) - epoch(lag(ts) OVER (
+                          PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+                THEN 1 ELSE 0 END AS new_session
+    FROM events)
+SELECT user_id, count(*) AS n_events, sum(new_session) AS n_sessions
+FROM g GROUP BY user_id
+"""
+
+
+def _q_event_type_topk(spark, sf_dir):
+    from pyspark.sql import Window
+    ev = load(spark, sf_dir, "events")
+    totals = (ev.groupBy("event_type", "user_id")
+              .agg(F.sum(F.round(F.col("value") * 100).cast("long"))
+                   .alias("total_value_cents")))
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("total_value_cents"), F.asc("user_id"))
+    return (totals.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= 3))
+
+
+_O_EVENT_TYPE_TOPK = """
+SELECT event_type, user_id, total_value_cents, rnk FROM (
+    SELECT event_type, user_id, total_value_cents,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY total_value_cents DESC,
+                                       user_id ASC) AS rnk
+    FROM (SELECT event_type, user_id,
+                 sum(CAST(round(value * 100) AS BIGINT)) AS total_value_cents
+          FROM events GROUP BY event_type, user_id))
+WHERE rnk <= 3
+"""
+
+
+CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "word_counts": (_q_word_counts, _O_WORD_COUNTS),
+    "bigram_counts": (_q_bigram_counts, _O_BIGRAM_COUNTS),
+    "blocking_keys": (_q_blocking_keys, _O_BLOCKING_KEYS),
+    "candidate_pairs": (_q_candidate_pairs, _O_CAND_PAIRS),
+    "scored_pairs_osa": (_q_scored_pairs_osa, _O_SCORED_OSA),
+    "scored_pairs_lev": (_q_scored_pairs_lev, _O_SCORED_LEV),
+    "term_clusters": (_q_term_clusters, _O_TERM_CLUSTERS),
+    "lookup_closest": (_q_lookup_closest, _O_LOOKUP_CLOSEST),
+    "lookup_top": (_q_lookup_top, _O_LOOKUP_TOP),
+    "dedup_exact": (_q_dedup_exact, _O_DEDUP_EXACT),
+    "dedup_ngram_jaccard": (_q_dedup_ngram_jaccard, _O_NGRAM_JACCARD),
+    "minhash_signatures": (_q_minhash_signatures, _O_MINHASH_SIGNATURES),
+    "minhash_lsh_dups": (_q_minhash_lsh_dups, _O_MINHASH_LSH),
+    "simhash": (_q_simhash, _O_SIMHASH),
+    "embedding_knn": (_q_embedding_knn, _O_EMBEDDING_KNN),
+    "text_stats": (_q_text_stats, _O_TEXT_STATS),
+    "doc_fingerprint": (_q_doc_fingerprint, _O_DOC_FINGERPRINT),
+    "binary_features": (_q_binary_features, _O_BINARY_FEATURES),
+    "tpch_q1": (_q_tpch_q1, _O_TPCH_Q1),
+    "tpch_q3": (_q_tpch_q3, _O_TPCH_Q3),
+    "event_sessions": (_q_event_sessions, _O_EVENT_SESSIONS),
+    "event_type_topk": (_q_event_type_topk, _O_EVENT_TYPE_TOPK),
+}
