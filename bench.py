@@ -1,0 +1,142 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Runs the headline operator queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus the end-to-end
+record-linkage pipeline on a deterministically synthesized Common-Crawl
+page table sized to the SF.  Prints ONE JSON line:
+
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "pipeline": {...}, "candidate_pairs_scored_per_sec": ...}
+
+BENCH_MODE=pipeline restricts to the linkage pipeline (used by
+bench_scaling.py for the two-parallelism-level protocol).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from spellchecker_wasm_spark.session import get_spark
+
+HEADLINE = [
+    "term_clusters", "scored_pairs_osa", "lookup_closest",
+    "dedup_ngram_jaccard", "minhash_lsh_dups", "simhash", "embedding_knn",
+    "text_stats", "doc_fingerprint", "tpch_q1", "tpch_q3",
+    "event_sessions", "event_type_topk",
+]
+
+# entities scale ~linearly with SF: sf0.1 → ~6k entities (~18k pages)
+_ENTITIES_BY_SF = {"sf0.001": 60, "sf0.01": 600, "sf0.1": 6000}
+
+
+def run_pipeline_bench(spark, sf_name: str) -> dict:
+    from pyspark.sql import functions as F
+
+    from spellchecker_wasm_spark.operators.blocking import (
+        build_blocks, cap_hot_blocks)
+    from spellchecker_wasm_spark.operators.clustering import (
+        connected_components)
+    from spellchecker_wasm_spark.operators.pairs import candidate_pairs
+    from spellchecker_wasm_spark.operators.scoring import score_pairs
+    from spellchecker_wasm_spark.pipeline.linkage import (
+        LinkageConfig, extract_and_tokenize, pairwise_f1)
+    from spellchecker_wasm_spark.pipeline.webpages import synthesize_pages
+
+    n_entities = _ENTITIES_BY_SF.get(sf_name, 600)
+    cfg = LinkageConfig(max_block_size=500)
+
+    t0 = time.time()
+    pages_pdf, labels_pdf = synthesize_pages(n_entities=n_entities, seed=42)
+    n_part = spark.sparkContext.defaultParallelism * 2
+    pages = spark.createDataFrame(pages_pdf).repartition(n_part).cache()
+    n_pages = pages.count()
+    labels = spark.createDataFrame(labels_pdf).cache()
+    labels.count()
+    gen_wall = time.time() - t0
+
+    t0 = time.time()
+    tokens = extract_and_tokenize(pages, cfg)
+    blocks = build_blocks(tokens, term_col="token",
+                          carry_cols=("url", "title"))
+    blocks = blocks.dropDuplicates(["block_key", "url"])
+    capped, dropped = cap_hot_blocks(blocks, cfg.max_block_size)
+    pairs = candidate_pairs(capped, id_col="url", term_col="title",
+                            max_len_diff=cfg.max_edit_distance).cache()
+    n_pairs = pairs.count()
+    block_wall = time.time() - t0
+
+    t0 = time.time()
+    scored = score_pairs(pairs, max_distance=cfg.max_edit_distance).cache()
+    n_scored = scored.count()
+    score_wall = time.time() - t0
+
+    t0 = time.time()
+    clusters = connected_components(scored.select("id_a", "id_b"),
+                                    nodes=pages.select("url")).cache()
+    clusters.count()
+    cluster_wall = time.time() - t0
+
+    # correctness check, outside the timed engine stages
+    scores = pairwise_f1(clusters, labels)
+
+    for df in (pairs, scored, pages, labels, clusters):
+        df.unpersist()
+    total = block_wall + score_wall + cluster_wall
+    return {
+        "entities": n_entities, "pages": n_pages,
+        "candidate_pairs": n_pairs, "scored_pairs": n_scored,
+        "f1": round(scores["f1"], 6),
+        "gen_sec": round(gen_wall, 3), "block_sec": round(block_wall, 3),
+        "score_sec": round(score_wall, 3),
+        "cluster_sec": round(cluster_wall, 3),
+        "total_sec": round(total, 3),
+        "pairs_scored_per_sec": round(n_pairs / score_wall, 1),
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    mode = os.environ.get("BENCH_MODE", "full")
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    spark = get_spark(app_name=f"bench-{sf_name}", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries: dict[str, float] = {}
+    total = 0.0
+
+    pipeline = run_pipeline_bench(spark, sf_name)
+    queries["linkage_pipeline"] = pipeline["total_sec"]
+    total += pipeline["total_sec"]
+
+    if mode != "pipeline":
+        from spellchecker_wasm_spark.queries import CATALOG
+        for name in HEADLINE:
+            fn, _ = CATALOG[name]
+            t0 = time.time()
+            fn(spark, sf_dir).count()
+            dt = time.time() - t0
+            queries[name] = round(dt, 3)
+            total += dt
+
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf_name,
+        "cpus": cpus,
+        "pipeline": pipeline,
+        "candidate_pairs_scored_per_sec": pipeline["pairs_scored_per_sec"],
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

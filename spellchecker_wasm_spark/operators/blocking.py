@@ -15,6 +15,7 @@ skew-join splitting at pair time.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..functions.udfs import generate_deletes_udf
 
@@ -47,6 +48,11 @@ def cap_hot_blocks(blocks: DataFrame, max_block_size: int,
     reshuffles.  Dropped keys/rows are returned for lineage accounting —
     never silently.
     """
+    # the blocks DAG ends in a pandas-UDF explode — persist it so the
+    # heavy-hitter count, the anti-join, and both sides of the downstream
+    # self-join reuse one materialization instead of re-running the UDF
+    # (at cluster scale this is the checkpointed Iceberg `blocks` table)
+    blocks = blocks.persist(StorageLevel.MEMORY_AND_DISK)
     counts = blocks.groupBy(key_col).agg(F.count(F.lit(1)).alias("block_size"))
     hot = counts.where(F.col("block_size") > max_block_size)
     capped = blocks.join(F.broadcast(hot.select(key_col)), key_col, "left_anti")
