@@ -1,0 +1,88 @@
+"""Distributed ``lookup_compound`` (reference sym_spell.rs:523-676).
+
+The compound algorithm is inherently sequential per document (``last_combi``
+state, ordered suggestion_parts), so it cannot be a set-oriented plan —
+SURVEY.md §2.8 maps it to a grouped/batched pandas execution.  Design:
+
+* the (words, bigrams) dictionaries are collected once on the driver and
+  **broadcast**; the delete-neighborhood index is NOT shipped — each
+  executor rebuilds it lazily from the word list (one-time ~seconds) and
+  caches it per broadcast id, cutting broadcast bytes ~10×;
+* documents stream through ``mapInPandas`` so Python cost is amortized over
+  whole Arrow batches of documents; per-token work inside uses the
+  golden-verified kernel.
+
+This is the one operator where per-row Python is irreducible: the reference
+algorithm's control flow is a data-dependent sequential scan per document.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from ..kernels.symspell import SymSpellKernel
+
+_KERNEL_CACHE: dict[int, SymSpellKernel] = {}
+
+
+def kernel_from_counts(words: dict[str, int], bigrams: dict[str, int] | None,
+                       max_edit_distance: int = 2,
+                       prefix_length: int = 7) -> SymSpellKernel:
+    """Build an in-memory kernel from final-state dictionaries (threshold
+    promotion already applied upstream by aggregate_word_counts)."""
+    k = SymSpellKernel(max_edit_distance, prefix_length, 1)
+    for term, count in words.items():
+        k.create_dictionary_entry(term, count)
+    if bigrams:
+        k.bigrams = dict(bigrams)
+        if bigrams:
+            k.bigram_count_min = min(bigrams.values())
+    return k
+
+
+def compound_correct(docs: DataFrame, text_col: str, words_df: DataFrame,
+                     bigrams_df: DataFrame | None = None,
+                     max_edit_distance: int = 2, prefix_length: int = 7,
+                     id_cols: tuple[str, ...] = ()) -> DataFrame:
+    """docs(…, text) → (…, corrected, distance, count): exactly one
+    correction row per document (lookup_compound always returns 1 item,
+    sym_spell.rs:675)."""
+    spark = docs.sparkSession
+    words = {r["term"]: r["count"] for r in words_df.collect()}
+    bigrams = ({r["bigram"]: r["count"] for r in bigrams_df.collect()}
+               if bigrams_df is not None else None)
+    bc = spark.sparkContext.broadcast(
+        (words, bigrams, max_edit_distance, prefix_length))
+
+    out_fields = [docs.schema[c] for c in id_cols]
+    out_fields += [T.StructField("corrected", T.StringType()),
+                   T.StructField("distance", T.LongType()),
+                   T.StructField("count", T.LongType())]
+    schema = T.StructType(out_fields)
+    cols = list(id_cols) + [text_col]
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        key = id(bc)
+        kernel = _KERNEL_CACHE.get(key)
+        if kernel is None:
+            w, b, med, plen = bc.value
+            kernel = kernel_from_counts(w, b, med, plen)
+            _KERNEL_CACHE.clear()
+            _KERNEL_CACHE[key] = kernel
+        for pdf in batches:
+            res = [kernel.lookup_compound(t, max_edit_distance)[0]
+                   if t is not None else None
+                   for t in pdf[text_col]]
+            out = pdf[list(id_cols)].copy() if id_cols else pd.DataFrame(
+                index=pdf.index)
+            out["corrected"] = [r.term if r else None for r in res]
+            out["distance"] = [r.distance if r else None for r in res]
+            out["count"] = [min(r.count, 2**63 - 1) if r else None
+                            for r in res]
+            yield out
+
+    return docs.select(cols).mapInPandas(fn, schema)

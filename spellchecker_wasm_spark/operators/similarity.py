@@ -1,0 +1,111 @@
+"""Similarity search over an embedding column (array<float>).
+
+Two paths, per the training-data-pipeline requirement:
+
+* ``brute_force_topk`` — exact cosine top-k; the baseline.  Quantizes
+  embeddings to integer milli-units so dot products are exact longs
+  (order-independent, engine-portable — the same trick the oracle SQL
+  uses) and ranking is deterministic.
+* ``lsh_bucketed_topk`` — the scale path: sign-random-projection (SimHash
+  for vectors) buckets with multi-probe (Hamming ≤ 1), exact re-ranking
+  inside candidate buckets.  Hyperplanes derive deterministically from
+  md5(seed:plane:dim) so the bucketing is reproducible in SQL as well.
+  Candidate volume drops from O(N²) to O(N²/2^planes · probes), which is
+  what makes 10^12-scale ANN joins feasible; recall is tunable via
+  n_planes/probes and is property-tested against the brute-force baseline.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+_Q = "transform(embedding, x -> CAST(round(x * 1000) AS BIGINT))"
+
+
+def _prep(embeddings: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    return (embeddings
+            .select(F.col(id_col).alias("vid"),
+                    F.expr(_Q.replace("embedding", vec_col)).alias("v"))
+            .withColumn("nrm", F.expr("aggregate(v, 0L, (a, x) -> a + x * x)")))
+
+
+def brute_force_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """queries × embeddings exact cosine top-k →
+    (query_id, neighbor_id, rank).  Broadcast the smaller side."""
+    base = _prep(embeddings, id_col, vec_col)
+    q = _prep(queries, id_col, vec_col).select(
+        F.col("vid").alias("qid"), F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"))
+    joined = (q.join(F.broadcast(base), F.col("vid") != F.col("qid"))
+              .withColumn("dot", F.expr(
+                  "aggregate(zip_with(qv, v, (x, y) -> x * y), 0L, "
+                  "(a, x) -> a + x)"))
+              .withColumn("cos", F.col("dot") / (F.sqrt("qn") * F.sqrt("nrm"))))
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vid"))
+    return (joined.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(F.col("qid").alias("query_id"),
+                    F.col("vid").alias("neighbor_id"), "rank", "cos"))
+
+
+def _hyperplane(seed: int, plane: int, dim: int) -> int:
+    """Deterministic signed int in [-8, 8) from md5 — reproducible in SQL:
+    (hex→int % 16) - 8."""
+    h = hashlib.md5(f"{seed}:{plane}:{dim}".encode()).hexdigest()
+    return int(h[:15], 16) % 16 - 8
+
+
+def lsh_signature_expr(n_planes: int, n_dims: int, seed: int = 7):
+    """Column expression: sign-random-projection bucket id (long) of the
+    quantized embedding column `v`."""
+    plane_terms = []
+    for p in range(n_planes):
+        coeffs = [_hyperplane(seed, p, d) for d in range(n_dims)]
+        arr = "array(" + ",".join(f"{c}L" for c in coeffs) + ")"
+        dot = (f"aggregate(zip_with(v, {arr}, (x, y) -> x * y), 0L, "
+               f"(a, x) -> a + x)")
+        plane_terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << p}L ELSE 0L END)")
+    return F.expr(" + ".join(plane_terms))
+
+
+def lsh_buckets(embeddings: DataFrame, n_planes: int = 8, seed: int = 7,
+                id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """(vec_id, bucket) — the blocking stage of ANN."""
+    base = _prep(embeddings, id_col, vec_col)
+    n_dims = len(embeddings.select(vec_col).first()[0])
+    return base.withColumn("bucket",
+                           lsh_signature_expr(n_planes, n_dims, seed))
+
+
+def lsh_bucketed_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
+                      n_planes: int = 8, seed: int = 7, probe_hamming: int = 1,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """ANN top-k: join on LSH bucket (query side multi-probes all buckets
+    within Hamming distance ``probe_hamming``), exact cosine re-rank."""
+    base = lsh_buckets(embeddings, n_planes, seed, id_col, vec_col)
+    qb = lsh_buckets(queries, n_planes, seed, id_col, vec_col)
+    # multi-probe: query explodes to its bucket plus single-bit flips
+    flips = [F.col("bucket")] + [
+        F.expr(f"CAST(bucket AS BIGINT) ^ {1 << p}L")
+        for p in range(n_planes if probe_hamming >= 1 else 0)]
+    q = (qb.select(F.col("vid").alias("qid"), F.col("v").alias("qv"),
+                   F.col("nrm").alias("qn"),
+                   F.explode(F.array(*flips)).alias("bucket")))
+    joined = (q.join(base, "bucket")
+              .where(F.col("vid") != F.col("qid"))
+              .dropDuplicates(["qid", "vid"])
+              .withColumn("dot", F.expr(
+                  "aggregate(zip_with(qv, v, (x, y) -> x * y), 0L, "
+                  "(a, x) -> a + x)"))
+              .withColumn("cos", F.col("dot") / (F.sqrt("qn") * F.sqrt("nrm"))))
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vid"))
+    return (joined.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(F.col("qid").alias("query_id"),
+                    F.col("vid").alias("neighbor_id"), "rank", "cos"))

@@ -450,6 +450,64 @@ SELECT qid, neighbor_id, rank FROM (
 WHERE rank <= 5
 """
 
+def _q_dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (threshold tuned to the
+    synthetic data's cosine distribution; integers-only output)."""
+    from .operators.similarity import _prep
+    emb = load(spark, sf_dir, "embeddings")
+    n = _prep(emb, "vec_id", "embedding")
+    a = n.select(F.col("vid").alias("vec_a"), F.col("v").alias("va"),
+                 F.col("nrm").alias("na"))
+    b = n.select(F.col("vid").alias("vec_b"), F.col("v").alias("vb"),
+                 F.col("nrm").alias("nb"))
+    return (a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
+            .withColumn("dot", F.expr(
+                "aggregate(zip_with(va, vb, (x, y) -> x * y), 0L, "
+                "(acc, x) -> acc + x)"))
+            .where(F.col("dot") / (F.sqrt("na") * F.sqrt("nb")) >= 0.35)
+            .select("vec_a", "vec_b"))
+
+
+_O_DEDUP_EMBEDDING = """
+WITH e AS (SELECT vec_id,
+                  list_transform(embedding,
+                                 x -> CAST(round(x * 1000) AS BIGINT)) AS v
+           FROM embeddings),
+n AS (SELECT vec_id, v, list_sum(list_transform(v, x -> x * x)) AS nrm FROM e)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]))
+      / (sqrt(a.nrm) * sqrt(b.nrm)) >= 0.35
+"""
+
+_LSH_PLANES = 8
+_LSH_DIMS = 64
+_LSH_SEED = 7
+
+
+def _q_ann_lsh_buckets(spark, sf_dir):
+    from .operators.similarity import lsh_buckets
+    emb = load(spark, sf_dir, "embeddings")
+    return (lsh_buckets(emb, n_planes=_LSH_PLANES, seed=_LSH_SEED)
+            .select("vid", "bucket")
+            .withColumnRenamed("vid", "vec_id"))
+
+
+def _o_lsh_sql() -> str:
+    from .operators.similarity import _hyperplane
+    terms = []
+    for p in range(_LSH_PLANES):
+        coeffs = [_hyperplane(_LSH_SEED, p, d) for d in range(_LSH_DIMS)]
+        arr = "[" + ",".join(str(c) for c in coeffs) + "]"
+        dot = (f"list_sum(list_transform(list_zip(v, {arr}::BIGINT[]), "
+               "q -> q[1] * q[2]))")
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END)")
+    return ("WITH e AS (SELECT vec_id, list_transform(embedding, "
+            "x -> CAST(round(x * 1000) AS BIGINT)) AS v FROM embeddings) "
+            "SELECT vec_id, CAST(" + " + ".join(terms)
+            + " AS BIGINT) AS bucket FROM e")
+
+
 _STOPWORDS = ("the", "a")
 
 
@@ -646,6 +704,8 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "minhash_lsh_dups": (_q_minhash_lsh_dups, _O_MINHASH_LSH),
     "simhash": (_q_simhash, _O_SIMHASH),
     "embedding_knn": (_q_embedding_knn, _O_EMBEDDING_KNN),
+    "dedup_embedding": (_q_dedup_embedding, _O_DEDUP_EMBEDDING),
+    "ann_lsh_buckets": (_q_ann_lsh_buckets, _o_lsh_sql()),
     "text_stats": (_q_text_stats, _O_TEXT_STATS),
     "doc_fingerprint": (_q_doc_fingerprint, _O_DOC_FINGERPRINT),
     "binary_features": (_q_binary_features, _O_BINARY_FEATURES),
