@@ -1,0 +1,54 @@
+"""Structured Streaming: incremental dictionary ingest must reach the same
+final state as a batch load (the reference's chunked-ingest invariant)."""
+
+import shutil
+
+from pyspark.sql import Row, functions as F
+
+from spellchecker_wasm_spark.streaming import (
+    stream_dictionary_ingest, windowed_event_counts)
+
+
+def test_stream_ingest_matches_batch_final_state(spark, tmp_path):
+    d = tmp_path / "dict_in"
+    d.mkdir()
+    (d / "a.txt").write_text("the 100\nof 50\nbelow 1\n")
+    q = stream_dictionary_ingest(spark, str(d), query_name="ws1",
+                                 count_threshold=2)
+    q.awaitTermination(60)
+    got1 = {r["term"]: r["count"] for r in spark.table("ws1").collect()}
+    assert got1 == {"the": 100, "of": 50}
+
+    # incremental append merges counts (SpellCheckerBase.ts:100-103):
+    # 'below' crosses the threshold via accumulation
+    (d / "b.txt").write_text("the 10\nbelow 5\n")
+    q2 = stream_dictionary_ingest(spark, str(d), query_name="ws2",
+                                  count_threshold=2)
+    q2.awaitTermination(60)
+    got2 = {r["term"]: r["count"] for r in spark.table("ws2").collect()}
+    assert got2 == {"the": 110, "of": 50, "below": 6}
+
+
+def test_windowed_event_counts_static_vs_stream(spark, tmp_path):
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    static = windowed_event_counts(events)
+    want = {(r["window_start"], r["event_type"]): (r["n"], r["value_cents"])
+            for r in static.collect()}
+    assert want
+
+    src = tmp_path / "events_in"
+    src.mkdir()
+    events.coalesce(1).write.mode("overwrite").parquet(str(src / "p"))
+    stream = (spark.readStream.schema(events.schema)
+              .parquet(str(src / "p")))
+    out = windowed_event_counts(stream)
+    q = (out.writeStream.format("memory").queryName("ev_win")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["window_start"], r["event_type"]): (r["n"], r["value_cents"])
+           for r in spark.table("ev_win").collect()}
+    # append mode emits only watermark-closed windows; every emitted window
+    # must match the batch result, and most windows should have closed
+    assert got
+    for k, v in got.items():
+        assert want[k] == v
