@@ -37,33 +37,28 @@ _ENTITIES_BY_SF = {"sf0.001": 60, "sf0.01": 600, "sf0.1": 6000}
 def run_pipeline_bench(spark, sf_name: str) -> dict:
     from pyspark.sql import functions as F
 
-    from spellchecker_wasm_spark.operators.blocking import (
-        build_blocks, cap_hot_blocks)
+    from spellchecker_wasm_spark.operators.blocking import cap_hot_blocks
     from spellchecker_wasm_spark.operators.clustering import (
         connected_components)
     from spellchecker_wasm_spark.operators.pairs import candidate_pairs
     from spellchecker_wasm_spark.operators.scoring import score_pairs
     from spellchecker_wasm_spark.pipeline.linkage import (
-        LinkageConfig, extract_and_tokenize, pairwise_f1)
-    from spellchecker_wasm_spark.pipeline.webpages import synthesize_pages
+        LinkageConfig, pages_to_blocks, pairwise_f1)
+    from spellchecker_wasm_spark.pipeline.webpages import synthesize_pages_spark
 
-    n_entities = _ENTITIES_BY_SF.get(sf_name, 600)
+    n_entities = int(os.environ.get("BENCH_ENTITIES", "0")) or _ENTITIES_BY_SF.get(sf_name, 600)
     cfg = LinkageConfig(max_block_size=500)
 
     t0 = time.time()
-    pages_pdf, labels_pdf = synthesize_pages(n_entities=n_entities, seed=42)
-    n_part = spark.sparkContext.defaultParallelism * 2
-    pages = spark.createDataFrame(pages_pdf).repartition(n_part).cache()
+    pages, labels = synthesize_pages_spark(spark, n_entities, seed=42)
+    pages = pages.cache()
     n_pages = pages.count()
-    labels = spark.createDataFrame(labels_pdf).cache()
+    labels = labels.cache()
     labels.count()
     gen_wall = time.time() - t0
 
     t0 = time.time()
-    tokens = extract_and_tokenize(pages, cfg)
-    blocks = build_blocks(tokens, term_col="token",
-                          carry_cols=("url", "title"))
-    blocks = blocks.dropDuplicates(["block_key", "url"])
+    blocks = pages_to_blocks(pages, cfg)
     capped, dropped = cap_hot_blocks(blocks, cfg.max_block_size)
     pairs = candidate_pairs(capped, id_col="url", term_col="title",
                             max_len_diff=cfg.max_edit_distance).cache()

@@ -21,7 +21,8 @@ LEVELS = (8, 32)
 
 def run_level(cpus: int, sf_dir: str) -> dict:
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus),
-               SPARK_GRAFT_SF_DIR=sf_dir, BENCH_MODE="pipeline")
+               SPARK_GRAFT_SF_DIR=sf_dir, BENCH_MODE="pipeline",
+               BENCH_ENTITIES=os.environ.get("BENCH_ENTITIES", "100000"))
     out = subprocess.run([sys.executable, "bench.py"], env=env,
                          capture_output=True, text=True, check=True,
                          cwd=os.path.dirname(os.path.abspath(__file__)))

@@ -28,7 +28,10 @@ def osa_distance_udf(max_distance: int):
         out = pd.Series(d, index=s1.index, dtype="int64")
         return out.where(out >= 0, other=None).astype("Int32")
 
-    return _osa
+    # semantically deterministic; marked nondeterministic ONLY to stop
+    # Catalyst duplicating the (expensive) UDF into both the projection and
+    # the null-filter — halves Python compute in the scoring stage
+    return _osa.asNondeterministic()
 
 
 def generate_deletes_udf(max_edit_distance: int = 2, prefix_length: int = 7):

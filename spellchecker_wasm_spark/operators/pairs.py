@@ -23,19 +23,44 @@ def candidate_pairs(blocks: DataFrame, id_col: str = "term",
                     term_col: str = "term",
                     max_len_diff: int = 2) -> DataFrame:
     """blocks(block_key, id, term) self-join → (id_a, id_b, term_a, term_b)
-    with id_a < id_b, deduplicated across shared keys."""
-    select_cols = list({id_col, term_col, "block_key"})
-    a = blocks.select(select_cols).alias("a")
-    b = blocks.select(select_cols).alias("b")
-    cond = (
-        (F.col(f"a.block_key") == F.col(f"b.block_key"))
-        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        & (F.abs(F.length(F.col(f"a.{term_col}"))
-                 - F.length(F.col(f"b.{term_col}"))) <= max_len_diff)
-    )
-    out = (a.join(b, cond)
-           .select(F.col(f"a.{id_col}").alias("id_a"),
-                   F.col(f"b.{id_col}").alias("id_b"),
-                   F.col(f"a.{term_col}").alias("term_a"),
-                   F.col(f"b.{term_col}").alias("term_b")))
-    return out.dropDuplicates(["id_a", "id_b"])
+    with id_a < id_b, deduplicated across shared keys.
+
+    Shuffle-width design: the pre-dedup join output is the volume monster
+    (Σ block_size² rows), so it carries only (id_a, id_b) — the length
+    prefilter uses a precomputed int column instead of the term string, and
+    the term payloads are attached AFTER dedup via a join against the
+    (id, term) dimension.  Measured on the 60k-page bench this cuts the
+    dedup shuffle from wide string rows to two ids.
+    """
+    if id_col == term_col:
+        a = blocks.select(F.col(term_col).alias("term"), "block_key").alias("a")
+        b = blocks.select(F.col(term_col).alias("term"), "block_key").alias("b")
+        cond = ((F.col("a.block_key") == F.col("b.block_key"))
+                & (F.col("a.term") < F.col("b.term"))
+                & (F.abs(F.length("a.term") - F.length("b.term"))
+                   <= max_len_diff))
+        return (a.join(b, cond)
+                .select(F.col("a.term").alias("id_a"),
+                        F.col("b.term").alias("id_b"),
+                        F.col("a.term").alias("term_a"),
+                        F.col("b.term").alias("term_b"))
+                .distinct())
+
+    slim = blocks.select(F.col(id_col).alias("id"), "block_key",
+                         F.length(term_col).alias("tl"))
+    a = slim.alias("a")
+    b = slim.alias("b")
+    cond = ((F.col("a.block_key") == F.col("b.block_key"))
+            & (F.col("a.id") < F.col("b.id"))
+            & (F.abs(F.col("a.tl") - F.col("b.tl")) <= max_len_diff))
+    ids = (a.join(b, cond)
+           .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+           .distinct())
+    dim = (blocks.select(F.col(id_col).alias("id"),
+                         F.col(term_col).alias("term"))
+           .dropDuplicates(["id"]))
+    return (ids
+            .join(dim.select(F.col("id").alias("id_a"),
+                             F.col("term").alias("term_a")), "id_a")
+            .join(dim.select(F.col("id").alias("id_b"),
+                             F.col("term").alias("term_b")), "id_b"))

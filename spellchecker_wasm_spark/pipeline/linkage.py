@@ -43,6 +43,67 @@ def extract_text_udf(html: pd.Series) -> pd.Series:
     return html.map(lambda h: extract_text_from_html(h) if h is not None else None)
 
 
+_DELETE_MEMO: dict[str, list[str]] = {}
+
+
+def pages_to_blocks(pages: DataFrame, config: "LinkageConfig") -> DataFrame:
+    """Fused extract→tokenize→delete-keys pass: one mapInPandas over the
+    pages table emitting (url, title, block_key) directly.
+
+    Why fused: the staged version (extract UDF → tokenize UDF → delete UDF)
+    crosses the JVM↔Arrow boundary three times and re-serializes the
+    intermediate explosions; at 10^12 rows this stage is a single linear
+    scan of the input and should stay one Python pass.  Token delete-sets
+    are memoized across batches (token frequency is Zipf — the hot vocab
+    amortizes to dict lookups).
+    """
+    import pandas as _pd
+
+    from ..kernels.deletes import generate_deletes
+    from ..kernels.text import parse_words
+
+    med = config.max_edit_distance
+    plen = config.prefix_length
+    min_len = config.min_token_len
+    schema = T.StructType([
+        T.StructField("url", T.StringType()),
+        T.StructField("title", T.StringType()),
+        T.StructField("block_key", T.StringType()),
+    ])
+
+    def fn(batches):
+        memo = _DELETE_MEMO
+        for pdf in batches:
+            urls, titles, keys = [], [], []
+            for url, html in zip(pdf["url"], pdf["html"]):
+                if html is None:
+                    continue
+                title = extract_text_from_html(bytes(html)).split("\n", 1)[0].lower()
+                toks = set()
+                for tok in parse_words(title):
+                    # leading-separator strip == regexp ^[^\p{L}_]+ in the
+                    # staged path (equivalence is tested)
+                    while tok and not (tok[0].isalpha() or tok[0] == "_"):
+                        tok = tok[1:]
+                    if len(tok) >= min_len:
+                        toks.add(tok)
+                page_keys = set()
+                for tok in toks:
+                    k = memo.get(tok)
+                    if k is None:
+                        k = sorted(generate_deletes(tok, med, plen))
+                        if len(memo) < 2_000_000:
+                            memo[tok] = k
+                    page_keys.update(k)
+                urls.extend([url] * len(page_keys))
+                titles.extend([title] * len(page_keys))
+                keys.extend(page_keys)
+            yield _pd.DataFrame({"url": urls, "title": titles,
+                                 "block_key": keys})
+
+    return pages.select("url", "html").mapInPandas(fn, schema)
+
+
 @dataclass
 class LinkageConfig:
     max_edit_distance: int = 2
@@ -89,13 +150,7 @@ def run_linkage(spark: SparkSession, pages: DataFrame,
             raise ValueError(
                 f"text-extraction invariant violated on {mismatches} rows")
 
-    tokens = extract_and_tokenize(pages, config)
-
-    blocks = build_blocks(tokens, term_col="token",
-                          max_edit_distance=config.max_edit_distance,
-                          prefix_length=config.prefix_length,
-                          carry_cols=("url", "title"))
-    blocks = blocks.dropDuplicates(["block_key", "url"])
+    blocks = pages_to_blocks(pages, config)
     capped, dropped = cap_hot_blocks(blocks, config.max_block_size)
     if writer:
         capped = writer.materialize("blocks", capped)
@@ -114,7 +169,7 @@ def run_linkage(spark: SparkSession, pages: DataFrame,
                                     nodes=pages.select("url"))
     if writer:
         clusters = writer.materialize("clusters", clusters)
-    return {"tokens": tokens, "blocks": capped, "dropped_keys": dropped,
+    return {"blocks": capped, "dropped_keys": dropped,
             "scored_pairs": scored, "clusters": clusters}
 
 

@@ -76,6 +76,54 @@ def _edit_once(rng: np.random.RandomState, s: str, alphabet: str) -> str:
     return s
 
 
+def _gen_entity(entity_id: int, seed: int, ru_fraction: float) -> list[dict]:
+    """Generate one entity's pages from a per-entity-seeded RNG — the same
+    rows regardless of which partition (or the driver) generates them."""
+    rng = np.random.RandomState((seed * 1_000_003 + entity_id) % (2**31 - 1))
+    is_ru = rng.rand() < ru_fraction
+    vocab = _RU_VOCAB if is_ru else _EN_VOCAB
+    alphabet = ("абвгдежзиклмнопрстуфхцчшэюя" if is_ru
+                else "abcdefghijklmnopqrstuvwxyz")
+    slug = "".join(alphabet[i] for i in rng.randint(0, len(alphabet), 10))
+    words = [vocab[i] for i in rng.randint(0, len(vocab), rng.randint(2, 5))]
+    pos = rng.randint(len(words) + 1)
+    title = " ".join(words[:pos] + [slug] + words[pos:])
+    host = slug + _TLDS[rng.randint(len(_TLDS))]
+    n_pages = 1 + rng.randint(5)
+    pages = []
+    for p in range(n_pages):
+        t = title
+        if p > 0:
+            # sequential random edits can compose to OSA distance 3
+            # (e.g. transpose overlapping a delete — OSA forbids editing
+            # a substring twice, damerau_osa.rs:30-43), so enforce the
+            # ≤2 label invariant explicitly
+            for _ in range(25):
+                cand = title
+                for _ in range(1 + rng.randint(2)):   # 1-2 edits
+                    cand = _edit_once(rng, cand, alphabet)
+                if osa_distance(title, cand) <= 2:
+                    t = cand
+                    break
+            else:
+                t = _edit_once(rng, title, alphabet)  # 1 edit is always ≤1
+        body_words = [vocab[i] for i in rng.randint(0, len(vocab),
+                                                    5 + rng.randint(30))]
+        body = " ".join(body_words)
+        html = (f"<html><head><title>{t}</title></head>"
+                f"<body><p>{body}</p></body></html>").encode("utf-8")
+        url = f"https://{host}/{'-'.join(words[:2]) or 'index'}/{p}"
+        pages.append({
+            "url": url,
+            "warc_ts": _EPOCH + _dt.timedelta(
+                seconds=(entity_id * 7 + p) * 37),
+            "html": html,
+            "text": extract_text_from_html(html),
+            "lang": "ru" if is_ru else "en",
+        })
+    return pages
+
+
 def synthesize_pages(n_entities: int = 300, seed: int = 42,
                      ru_fraction: float = 0.1):
     """Returns (pages_pdf, labels_pdf) as pandas frames.
@@ -84,52 +132,13 @@ def synthesize_pages(n_entities: int = 300, seed: int = 42,
     labels: url_a < url_b, is_match (all same-entity pairs; non-listed
     pairs are non-matches — the truth set is complete, not sampled).
     """
-    rng = np.random.RandomState(seed)
     pages = []
     labels = []
-    row_idx = 0
     for e in range(n_entities):
-        is_ru = rng.rand() < ru_fraction
-        vocab = _RU_VOCAB if is_ru else _EN_VOCAB
-        alphabet = "абвгдежзиклмнопрстуфхцчшэюя" if is_ru else "abcdefghijklmnopqrstuvwxyz"
-        slug = "".join(alphabet[i] for i in rng.randint(0, len(alphabet), 10))
-        words = [vocab[i] for i in rng.randint(0, len(vocab), rng.randint(2, 5))]
-        pos = rng.randint(len(words) + 1)
-        title = " ".join(words[:pos] + [slug] + words[pos:])
-        host = slug + _TLDS[rng.randint(len(_TLDS))]
-        n_pages = 1 + rng.randint(5)
         urls = []
-        for p in range(n_pages):
-            t = title
-            if p > 0:
-                # sequential random edits can compose to OSA distance 3
-                # (e.g. transpose overlapping a delete — OSA forbids editing
-                # a substring twice, damerau_osa.rs:30-43), so enforce the
-                # ≤2 label invariant explicitly
-                for _ in range(25):
-                    cand = title
-                    for _ in range(1 + rng.randint(2)):   # 1-2 edits
-                        cand = _edit_once(rng, cand, alphabet)
-                    if osa_distance(title, cand) <= 2:
-                        t = cand
-                        break
-                else:
-                    t = _edit_once(rng, title, alphabet)  # 1 edit is always ≤1
-            body_words = [vocab[i] for i in rng.randint(0, len(vocab),
-                                                        5 + rng.randint(30))]
-            body = " ".join(body_words)
-            html = (f"<html><head><title>{t}</title></head>"
-                    f"<body><p>{body}</p></body></html>").encode("utf-8")
-            url = f"https://{host}/{'-'.join(words[:2]) or 'index'}/{p}"
-            pages.append({
-                "url": url,
-                "warc_ts": _EPOCH + _dt.timedelta(seconds=row_idx * 37),
-                "html": html,
-                "text": extract_text_from_html(html),
-                "lang": "ru" if is_ru else "en",
-            })
-            urls.append(url)
-            row_idx += 1
+        for page in _gen_entity(e, seed, ru_fraction):
+            pages.append(page)
+            urls.append(page["url"])
         for i in range(len(urls)):
             for j in range(i + 1, len(urls)):
                 a, b = sorted([urls[i], urls[j]])
@@ -138,3 +147,40 @@ def synthesize_pages(n_entities: int = 300, seed: int = 42,
     labels_pdf = pd.DataFrame(labels,
                               columns=["url_a", "url_b", "is_match"])
     return pages_pdf, labels_pdf
+
+
+def synthesize_pages_spark(spark, n_entities: int, seed: int = 42,
+                           ru_fraction: float = 0.1, partitions: int | None = None):
+    """Distributed generator: identical rows to ``synthesize_pages`` (same
+    per-entity seeding) but produced in parallel on executors — the scale
+    path for large benchmark inputs.  Returns (pages_df, labels_df)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    if partitions is None:
+        partitions = spark.sparkContext.defaultParallelism * 2
+    schema = T.StructType([
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("html", T.BinaryType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+    ])
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for eid in pdf["id"]:
+                rows.extend(_gen_entity(int(eid), seed, ru_fraction))
+            yield pd.DataFrame(rows, columns=[f.name for f in schema])
+
+    ids = spark.range(n_entities, numPartitions=partitions)
+    pages = ids.mapInPandas(gen, schema)
+    # complete truth pairs from same-host (slug ⇒ entity) co-membership
+    hosts = pages.select("url", F.expr("split(url, '/')[2]").alias("host"))
+    a = hosts.select(F.col("url").alias("url_a"), "host")
+    b = hosts.select(F.col("url").alias("url_b"), "host")
+    labels = (a.join(b, "host")
+              .where(F.col("url_a") < F.col("url_b"))
+              .select("url_a", "url_b", F.lit(True).alias("is_match")))
+    return pages, labels

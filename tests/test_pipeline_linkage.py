@@ -38,6 +38,23 @@ def test_input_schema_matches_hint(pages_and_labels):
                                   "lang": "string"}
 
 
+def test_fused_blocks_equal_staged(pages_and_labels):
+    """pages_to_blocks (one mapInPandas pass) must emit exactly the same
+    (url, title, block_key) set as the staged operator chain."""
+    from spellchecker_wasm_spark.operators.blocking import build_blocks
+    from spellchecker_wasm_spark.pipeline.linkage import (
+        LinkageConfig, extract_and_tokenize, pages_to_blocks)
+    pages, _ = pages_and_labels
+    cfg = LinkageConfig()
+    fused = {(r["url"], r["title"], r["block_key"])
+             for r in pages_to_blocks(pages, cfg).collect()}
+    tokens = extract_and_tokenize(pages, cfg)
+    staged = {(r["url"], r["title"], r["block_key"])
+              for r in build_blocks(tokens, term_col="token",
+                                    carry_cols=("url", "title")).collect()}
+    assert fused == staged
+
+
 def test_linkage_f1(pages_and_labels):
     pages, labels = pages_and_labels
     result = run_linkage(pages.sparkSession, pages)
