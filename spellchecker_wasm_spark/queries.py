@@ -401,7 +401,7 @@ bits AS (SELECT doc_id, b, (h >> b) & 1 AS bit FROM hs, pos),
 weights AS (SELECT doc_id, b, sum(2 * bit - 1) AS w
             FROM bits GROUP BY doc_id, b)
 SELECT doc_id,
-       sum(CASE WHEN w > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS simhash
+       CAST(sum(CASE WHEN w > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
 FROM weights GROUP BY doc_id
 """
 
@@ -444,8 +444,8 @@ j AS (SELECT q.vec_id AS qid, c.vec_id AS neighbor_id,
       WHERE q.vec_id < 50)
 SELECT qid, neighbor_id, rank FROM (
     SELECT qid, neighbor_id,
-           row_number() OVER (PARTITION BY qid
-                              ORDER BY cos DESC, neighbor_id ASC) AS rank
+           CAST(row_number() OVER (PARTITION BY qid
+                              ORDER BY cos DESC, neighbor_id ASC) AS INTEGER) AS rank
     FROM j)
 WHERE rank <= 5
 """
@@ -553,7 +553,7 @@ SELECT doc_id,
                list_transform(
                    list_filter(string_split(text, ''), c -> c <> ''),
                    c -> CAST(unicode(c) AS BIGINT))),
-           (acc, c) -> (acc * 31 + c) % 2147483647) AS fingerprint
+           (acc, c) -> (acc * 31 + c) % 2147483647)::BIGINT AS fingerprint
 FROM documents WHERE text IS NOT NULL
 """
 
@@ -571,9 +571,9 @@ def _q_binary_features(spark, sf_dir):
 
 _O_BINARY_FEATURES = """
 SELECT doc_id, strlen(text) AS n_bytes,
-       list_sum(list_transform(
+       CAST(list_sum(list_transform(
            list_filter(string_split(text, ''), c -> c <> ''),
-           c -> CAST(unicode(c) AS BIGINT))) AS byte_sum
+           c -> CAST(unicode(c) AS BIGINT))) AS BIGINT) AS byte_sum
 FROM documents WHERE text IS NOT NULL
 """
 
@@ -598,9 +598,9 @@ def _q_tpch_q1(spark, sf_dir):
 _O_TPCH_Q1 = """
 SELECT l_returnflag, l_linestatus,
        CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
-       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents,
-       sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
-           AS sum_disc_cents,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+           AS BIGINT) AS sum_disc_cents,
        count(*) AS count_order
 FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
 GROUP BY l_returnflag, l_linestatus
@@ -624,8 +624,8 @@ def _q_tpch_q3(spark, sf_dir):
 
 _O_TPCH_Q3 = """
 SELECT o_orderkey,
-       sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
-           AS revenue_cents
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+           AS BIGINT) AS revenue_cents
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -658,7 +658,7 @@ WITH g AS (
                           PARTITION BY user_id ORDER BY ts, event_id)) > 1800
                 THEN 1 ELSE 0 END AS new_session
     FROM events)
-SELECT user_id, count(*) AS n_events, sum(new_session) AS n_sessions
+SELECT user_id, count(*) AS n_events, CAST(sum(new_session) AS BIGINT) AS n_sessions
 FROM g GROUP BY user_id
 """
 
@@ -678,11 +678,11 @@ def _q_event_type_topk(spark, sf_dir):
 _O_EVENT_TYPE_TOPK = """
 SELECT event_type, user_id, total_value_cents, rnk FROM (
     SELECT event_type, user_id, total_value_cents,
-           row_number() OVER (PARTITION BY event_type
+           CAST(row_number() OVER (PARTITION BY event_type
                               ORDER BY total_value_cents DESC,
-                                       user_id ASC) AS rnk
+                                       user_id ASC) AS INTEGER) AS rnk
     FROM (SELECT event_type, user_id,
-                 sum(CAST(round(value * 100) AS BIGINT)) AS total_value_cents
+                 CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_value_cents
           FROM events GROUP BY event_type, user_id))
 WHERE rnk <= 3
 """
