@@ -19,6 +19,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from .distance import osa_distance_max
+
 _PAD1 = np.int32(0x7FFF0001)  # sentinels: never equal to any codepoint
 _PAD2 = np.int32(0x7FFF0002)  # nor to each other
 
@@ -73,41 +75,54 @@ def _dp_bucket(a: np.ndarray, b: np.ndarray, len1: np.ndarray,
     outside the band already exceeds max_distance (same argument as the
     reference's banded core, damerau_osa.rs:133-141).
     """
+    # Memory-layout note: all working arrays are (L, B) so every access in
+    # the inner loops (a[i], prev[j], cur[j-1], …) is a CONTIGUOUS
+    # B-vector; cost arrays are int16.  The column-strided int32 variant
+    # saturated this box's memory bandwidth at ~4-8 cores (scoring-only
+    # scaling microbench) — contiguous rows + half-width costs cut the
+    # streamed bytes ~4×.
     B = a.shape[0]
+    at = np.ascontiguousarray(a.T)
+    bt = np.ascontiguousarray(b.T)
     L1 = int(len1.max())
     L2 = int(len2.max())
-    BIG = np.int32(1 << 20)
-    # len2-len1 <= max_distance guaranteed upstream
-    lo_w = max_distance
+    BIG = np.int16(1 << 13)
+    lo_w = max_distance          # len2-len1 <= max_distance upstream
     hi_w = 2 * max_distance
     result = np.zeros(B, dtype=np.int32)
-    prev2 = np.full((B, L2 + 1), BIG, dtype=np.int32)
-    prev = np.full((B, L2 + 1), BIG, dtype=np.int32)
-    prev[:, :min(hi_w + 1, L2) + 1] = np.arange(min(hi_w + 1, L2) + 1,
-                                                dtype=np.int32)
-    cur = np.full((B, L2 + 1), BIG, dtype=np.int32)
+    prev2 = np.full((L2 + 1, B), BIG, dtype=np.int16)
+    prev = np.full((L2 + 1, B), BIG, dtype=np.int16)
+    init = min(hi_w + 1, L2) + 1
+    prev[:init] = np.arange(init, dtype=np.int16)[:, None]
+    cur = np.full((L2 + 1, B), BIG, dtype=np.int16)
     done0 = len1 == 0
     result[done0] = len2[done0]
+    tmp = np.empty(B, dtype=np.int16)
+    tmp2 = np.empty(B, dtype=np.int16)
+    eq = np.empty(B, dtype=bool)
     for i in range(1, L1 + 1):
         jlo = max(1, i - lo_w)
         jhi = min(L2, i + hi_w)
         if jlo == 1:
-            cur[:, 0] = i
+            cur[0] = i
         else:
-            cur[:, jlo - 1] = BIG
-        c1 = a[:, i - 1]
-        c1p = a[:, i - 2] if i > 1 else None
+            cur[jlo - 1] = BIG
+        c1 = at[i - 1]
+        c1p = at[i - 2] if i > 1 else None
         for j in range(jlo, jhi + 1):
-            c2 = b[:, j - 1]
-            cell = np.minimum(np.minimum(prev[:, j], cur[:, j - 1]),
-                              prev[:, j - 1] - (c1 == c2)) + 1
+            c2 = bt[j - 1]
+            np.equal(c1, c2, out=eq)
+            np.minimum(prev[j], cur[j - 1], out=tmp)
+            np.subtract(prev[j - 1], eq, out=tmp2)
+            np.minimum(tmp, tmp2, out=tmp)
+            np.add(tmp, 1, out=cur[j])
             if i > 1 and j > 1:
-                trans = (c1 == b[:, j - 2]) & (c1p == c2)
-                np.minimum(cell, prev2[:, j - 2] + 1, out=cell, where=trans)
-            cur[:, j] = cell
+                trans = (c1 == bt[j - 2]) & (c1p == c2)
+                np.add(prev2[j - 2], 1, out=tmp)
+                np.minimum(cur[j], tmp, out=cur[j], where=trans)
         hit = len1 == i
         if hit.any():
-            result[hit] = cur[hit, len2[hit]]
+            result[hit] = cur[len2[hit], np.nonzero(hit)[0]]
         prev2, prev, cur = prev, cur, prev2
     return result
 
@@ -148,13 +163,31 @@ def osa_batch(s1_list, s2_list, max_distance: int) -> np.ndarray:
     L = int(lb.max())
     A = _codepoint_matrix(sa, la, L, _PAD1)
     Bm = _codepoint_matrix(sb, lb, L, _PAD2)
+    out[idx] = _osa_from_matrices(A, Bm, la, lb, max_distance)
+    return out
+
+
+def _osa_from_matrices(A: np.ndarray, Bm: np.ndarray, la: np.ndarray,
+                       lb: np.ndarray, max_distance: int) -> np.ndarray:
+    """Shared core: sentinel-padded codepoint matrices (shorter string in
+    A rowwise, len diff ≤ max) → bounded distances (-1 encodes None)."""
+    L = A.shape[1]
     n1, n2, start = _strip_prefix_suffix(A, Bm, la, lb)
 
-    res = np.full(len(idx), -1, dtype=np.int64)
+    res = np.full(len(la), -1, dtype=np.int64)
     zero = n1 == 0
     res[zero & (n2 <= max_distance)] = n2[zero & (n2 <= max_distance)]
 
-    todo = np.nonzero(~zero)[0]
+    # int16 cost arrays bound the DP to cores < ~8k codepoints; route the
+    # (vanishingly rare) huge-core pairs to the scalar kernel instead
+    huge = (~zero) & (n2 > 4000)
+    for h in np.nonzero(huge)[0]:
+        s1 = "".join(map(chr, A[h, :la[h]]))
+        s2 = "".join(map(chr, Bm[h, :lb[h]]))
+        d = osa_distance_max(s1, s2, max_distance)
+        res[h] = -1 if d is None else d
+
+    todo = np.nonzero(~zero & ~huge)[0]
     if todo.size:
         # gather stripped cores and bucket by core length to keep DP tight
         L2m = int(n2[todo].max())
@@ -184,5 +217,94 @@ def osa_batch(s1_list, s2_list, max_distance: int) -> np.ndarray:
                            max_distance)
             r = np.where(d <= max_distance, d.astype(np.int64), -1)
             res[todo[sel]] = r
-    out[idx] = res
+    return res
+
+
+def _arrow_codepoint_matrix(arr) -> tuple[np.ndarray, np.ndarray]:
+    """pyarrow string array → (codepoint lens, (B, L) int32 matrix padded
+    with -1) — built straight from the Arrow offsets/data buffers with an
+    ASCII fast path (bytes ARE codepoints); only rows containing a byte
+    ≥ 0x80 take the per-row decode path.  Nulls count as ""."""
+    import pyarrow as pa
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    B = len(arr)
+    if B == 0:
+        return (np.zeros(0, dtype=np.int64), np.zeros((0, 1), dtype=np.int32))
+    if arr.null_count:
+        arr = arr.fill_null("")
+    if pa.types.is_large_string(arr.type):
+        off_dt = np.int64
+    else:
+        off_dt = np.int32
+    bufs = arr.buffers()
+    offsets = np.frombuffer(
+        bufs[1], dtype=off_dt, count=B + 1,
+        offset=arr.offset * np.dtype(off_dt).itemsize).astype(np.int64)
+    data = np.frombuffer(bufs[2], dtype=np.uint8)
+    lens = np.diff(offsets)
+    L = max(int(lens.max()), 1)
+    idxm = offsets[:-1, None] + np.arange(L, dtype=np.int64)[None, :]
+    valid = np.arange(L)[None, :] < lens[:, None]
+    M = np.full((B, L), -1, dtype=np.int32)
+    if len(data):
+        np.copyto(M, data[np.minimum(idxm, len(data) - 1)].astype(np.int32),
+                  where=valid)
+    # rows with multi-byte UTF-8: fix lengths and codepoints individually
+    hot = np.nonzero(data[offsets[0]:offsets[-1]] >= 0x80)[0]
+    if hot.size:
+        rows = np.unique(np.searchsorted(offsets, hot + offsets[0],
+                                         side="right") - 1)
+        for r in rows:
+            s = bytes(data[offsets[r]:offsets[r + 1]]).decode("utf-8")
+            cps = np.frombuffer(s.encode("utf-32-le"),
+                                dtype=np.uint32).view(np.int32)
+            lens[r] = len(s)
+            M[r, :len(s)] = cps
+            M[r, len(s):] = -1
+    return lens, M
+
+
+def osa_batch_arrow(arr_a, arr_b, max_distance: int) -> np.ndarray:
+    """Arrow-native bounded OSA: same contract as ``osa_batch`` but reads
+    codepoints directly from pyarrow string buffers — no Python string
+    objects in the hot path (the mapInArrow scorer's kernel)."""
+    la_raw, A0 = _arrow_codepoint_matrix(arr_a)
+    lb_raw, B0 = _arrow_codepoint_matrix(arr_b)
+    B = len(la_raw)
+    out = np.full(B, -1, dtype=np.int64)
+    if B == 0:
+        return out
+    W = max(A0.shape[1], B0.shape[1])
+    if A0.shape[1] < W:
+        A0 = np.pad(A0, ((0, 0), (0, W - A0.shape[1])), constant_values=-1)
+    if B0.shape[1] < W:
+        B0 = np.pad(B0, ((0, 0), (0, W - B0.shape[1])), constant_values=-1)
+
+    mn = np.minimum(la_raw, lb_raw)
+    mx = np.maximum(la_raw, lb_raw)
+    empty = mn == 0
+    out[empty & (mx <= max_distance)] = mx[empty & (mx <= max_distance)]
+    if max_distance <= 0:
+        eq = (la_raw == lb_raw) & (A0 == B0).all(axis=1)
+        out[:] = -1
+        out[eq] = 0
+        return out
+
+    live = (~empty) & (mx - mn <= max_distance)
+    if not live.any():
+        return out
+    idx = np.nonzero(live)[0]
+    Asub = A0[idx]
+    Bsub = B0[idx]
+    swap = (la_raw[idx] > lb_raw[idx])[:, None]
+    Ac = np.where(swap, Bsub, Asub)
+    Bc = np.where(swap, Asub, Bsub)
+    la = mn[idx]
+    lb = mx[idx]
+    cols = np.arange(W, dtype=np.int64)[None, :]
+    A = np.where(cols < la[:, None], Ac, _PAD1)
+    Bm = np.where(cols < lb[:, None], Bc, _PAD2)
+    out[idx] = _osa_from_matrices(A, Bm, la, lb, max_distance)
     return out
