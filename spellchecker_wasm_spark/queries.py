@@ -250,6 +250,18 @@ WHERE rn = 1
 """
 
 
+def _q_lookup_all(spark, sf_dir):
+    probes, words = _lookup_inputs(spark, sf_dir)
+    res = distributed_lookup(probes, words, Verbosity.ALL, 2)
+    return res.select("query", "term",
+                      F.col("distance").cast("int").alias("distance"),
+                      "count")
+
+
+_O_LOOKUP_ALL = (_SQL_LOOKUP_BASE
+                 + " SELECT query, term, distance, count FROM scored")
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline operators
 # ---------------------------------------------------------------------------
@@ -698,6 +710,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "term_clusters": (_q_term_clusters, _O_TERM_CLUSTERS),
     "lookup_closest": (_q_lookup_closest, _O_LOOKUP_CLOSEST),
     "lookup_top": (_q_lookup_top, _O_LOOKUP_TOP),
+    "lookup_all": (_q_lookup_all, _O_LOOKUP_ALL),
     "dedup_exact": (_q_dedup_exact, _O_DEDUP_EXACT),
     "dedup_ngram_jaccard": (_q_dedup_ngram_jaccard, _O_NGRAM_JACCARD),
     "minhash_signatures": (_q_minhash_signatures, _O_MINHASH_SIGNATURES),

@@ -17,6 +17,13 @@ def get_spark(app_name: str = "spellchecker_wasm_spark",
               cpus: int | None = None,
               shuffle_partitions: int | None = None,
               extra_conf: dict | None = None) -> SparkSession:
+    # make the package importable on executor Python workers regardless of
+    # the driver's cwd (workers read PYTHONPATH, not driver sys.path)
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if repo_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (repo_root + os.pathsep + existing
+                                    if existing else repo_root)
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
