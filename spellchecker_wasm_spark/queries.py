@@ -250,6 +250,21 @@ WHERE rn = 1
 """
 
 
+def _q_dictionary_export(spark, sf_dir):
+    """Offline dictionary builder (reference CreateDictionary.cs:34-156):
+    aggregate counts, keep terms above threshold, rank by frequency, cap."""
+    return (_tokens(spark, sf_dir).groupBy("term")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .where(F.col("cnt") >= 2)
+            .orderBy(F.desc("cnt"), F.asc("term"))
+            .limit(50))
+
+
+_O_DICTIONARY_EXPORT = (
+    f"SELECT term, count(*) AS cnt FROM ({_SQL_TOKS_NE}) GROUP BY term "
+    "HAVING count(*) >= 2 ORDER BY cnt DESC, term ASC LIMIT 50")
+
+
 def _q_lookup_all(spark, sf_dir):
     probes, words = _lookup_inputs(spark, sf_dir)
     res = distributed_lookup(probes, words, Verbosity.ALL, 2)
@@ -711,6 +726,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "lookup_closest": (_q_lookup_closest, _O_LOOKUP_CLOSEST),
     "lookup_top": (_q_lookup_top, _O_LOOKUP_TOP),
     "lookup_all": (_q_lookup_all, _O_LOOKUP_ALL),
+    "dictionary_export": (_q_dictionary_export, _O_DICTIONARY_EXPORT),
     "dedup_exact": (_q_dedup_exact, _O_DEDUP_EXACT),
     "dedup_ngram_jaccard": (_q_dedup_ngram_jaccard, _O_NGRAM_JACCARD),
     "minhash_signatures": (_q_minhash_signatures, _O_MINHASH_SIGNATURES),
