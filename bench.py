@@ -62,8 +62,12 @@ def run_pipeline_bench(spark, sf_name: str) -> dict:
               .select(F.xxhash64("url").alias("page_id"), "title",
                       "block_key"))
     capped, dropped = cap_hot_blocks(blocks, cfg.max_block_size)
+    from spellchecker_wasm_spark.functions.text_expr import title_expr
+    dim = pages.select(F.xxhash64("url").alias("id"),
+                       title_expr(F.col("html")).alias("term"))
     pairs = candidate_pairs(capped, id_col="page_id", term_col="title",
-                            max_len_diff=cfg.max_edit_distance).cache()
+                            max_len_diff=cfg.max_edit_distance,
+                            dim=dim).cache()
     n_pairs = pairs.count()
     block_wall = time.time() - t0
 

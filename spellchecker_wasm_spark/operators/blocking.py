@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 from pyspark.storagelevel import StorageLevel
 
-from ..functions.udfs import generate_deletes_udf
+from ..functions.delete_expr import delete_keys_array
 
 
 def build_blocks(terms: DataFrame, term_col: str = "term",
@@ -25,13 +25,15 @@ def build_blocks(terms: DataFrame, term_col: str = "term",
                  carry_cols: tuple[str, ...] = ()) -> DataFrame:
     """(…, term) → (block_key, term, …carry) — one row per delete key.
 
-    The kernel UDF already returns a deduplicated key set per term, so no
+    Key generation is the pure-Catalyst combinatorial expression
+    (functions/delete_expr.py) — set-identical to the recursive reference
+    kernel but whole-stage-codegen'd JVM string ops, no Python worker.
+    The expression returns a deduplicated key array per term, so no
     distinct() is needed when `terms` is term-unique.
     """
-    keys = generate_deletes_udf(max_edit_distance, prefix_length)
+    keys = delete_keys_array(F.col(term_col), max_edit_distance, prefix_length)
     cols = [F.col(term_col).alias("term"), *[F.col(c) for c in carry_cols]]
-    return (terms
-            .select(*cols, F.explode(keys(F.col(term_col))).alias("block_key")))
+    return terms.select(*cols, F.explode(keys).alias("block_key"))
 
 
 def cap_hot_blocks(blocks: DataFrame, max_block_size: int,

@@ -17,16 +17,22 @@ Reference quirks preserved:
   such queries emit only the self row (when include_self);
 * include_unknown synthesizes (query, med+1, 0) for empty results (:298-303).
 
-Known deviation (documented): result ties at (distance, count) are broken
-by term ASC — the reference's winner depends on HashMap posting order,
-which is not meaningful to reproduce.
+Known deviations (documented):
+* result ties at (distance, count) are broken by term ASC — the
+  reference's winner depends on HashMap posting order, which is not
+  meaningful to reproduce;
+* ``rank`` always orders distance ASC (then count DESC, term ASC); the
+  reference sorts Verbosity::All output by distance DESC (the quirk at
+  sym_spell.rs:508-515, reproduced faithfully in the scalar kernel) —
+  callers comparing ordered ALL output against the kernel must invert.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from ..functions.udfs import generate_deletes_udf, osa_distance_udf, query_deletes_udf
+from ..functions.delete_expr import delete_keys_array, query_deletes_array
+from ..functions.udfs import osa_distance_udf
 from ..kernels.symspell import Verbosity
 
 
@@ -60,15 +66,17 @@ def distributed_lookup(queries: DataFrame, words: DataFrame,
 
     blocks = words.select(
         "term", "count",
-        F.explode(generate_deletes_udf(max_edit_distance, prefix_length)(
-            F.col("term"))).alias("block_key"))
+        F.explode(delete_keys_array(
+            F.col("term"), max_edit_distance, prefix_length))
+        .alias("block_key"))
     if broadcast_words:
         blocks = F.broadcast(blocks)
 
     cand = eligible.select(
         "query", "q_len",
-        F.explode(query_deletes_udf(max_edit_distance, prefix_length)(
-            F.col("query"))).alias("block_key"))
+        F.explode(query_deletes_array(
+            F.col("query"), max_edit_distance, prefix_length))
+        .alias("block_key"))
 
     joined = (cand.join(blocks, "block_key")
               .where(F.col("term") != F.col("query"))

