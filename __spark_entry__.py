@@ -39,15 +39,18 @@ def _ship_package(spark: SparkSession) -> None:
     app_id = spark.sparkContext.applicationId
     if app_id in _SHIPPED:
         return
+    pkg = os.path.join(_REPO_ROOT, "spellchecker_wasm_spark")
+    sources = sorted(
+        os.path.join(root, f)
+        for root, _, files in os.walk(pkg) for f in files if f.endswith(".py"))
     zip_path = os.path.join("/tmp", "spellchecker_wasm_spark_pkg.zip")
-    if not os.path.exists(zip_path):
-        pkg = os.path.join(_REPO_ROOT, "spellchecker_wasm_spark")
+    # rebuild whenever any source is newer than the zip — a reused stale
+    # zip would silently ship outdated code to executors across sessions
+    newest_src = max(os.path.getmtime(p) for p in sources)
+    if not os.path.exists(zip_path) or os.path.getmtime(zip_path) <= newest_src:
         with zipfile.ZipFile(zip_path, "w") as zf:
-            for root, _, files in os.walk(pkg):
-                for f in files:
-                    if f.endswith(".py"):
-                        full = os.path.join(root, f)
-                        zf.write(full, os.path.relpath(full, _REPO_ROOT))
+            for full in sources:
+                zf.write(full, os.path.relpath(full, _REPO_ROOT))
     spark.sparkContext.addPyFile(zip_path)
     _SHIPPED.add(app_id)
 

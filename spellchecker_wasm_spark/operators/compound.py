@@ -26,7 +26,12 @@ from pyspark.sql import types as T
 
 from ..kernels.symspell import SymSpellKernel
 
-_KERNEL_CACHE: dict[int, SymSpellKernel] = {}
+# keyed by a driver-generated uuid captured in the task closure — NOT by
+# id(broadcast): every task deserializes a fresh Broadcast object, so an
+# object-address key never hits across tasks, and a reused Python worker
+# could even see a *different* job's Broadcast allocated at the same
+# address (silently returning a kernel built from the wrong dictionaries)
+_KERNEL_CACHE: dict[str, SymSpellKernel] = {}
 
 
 def kernel_from_counts(words: dict[str, int], bigrams: dict[str, int] | None,
@@ -57,22 +62,25 @@ def compound_correct(docs: DataFrame, text_col: str, words_df: DataFrame,
                if bigrams_df is not None else None)
     bc = spark.sparkContext.broadcast(
         (words, bigrams, max_edit_distance, prefix_length))
+    import uuid
+    cache_token = uuid.uuid4().hex
 
     out_fields = [docs.schema[c] for c in id_cols]
     out_fields += [T.StructField("corrected", T.StringType()),
                    T.StructField("distance", T.LongType()),
                    T.StructField("count", T.LongType())]
     schema = T.StructType(out_fields)
-    cols = list(id_cols) + [text_col]
+    # text_col may itself be an id column (e.g. probe tables keyed by the
+    # probe text) — select each column once
+    cols = list(dict.fromkeys(list(id_cols) + [text_col]))
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        key = id(bc)
-        kernel = _KERNEL_CACHE.get(key)
+        kernel = _KERNEL_CACHE.get(cache_token)
         if kernel is None:
             w, b, med, plen = bc.value
             kernel = kernel_from_counts(w, b, med, plen)
             _KERNEL_CACHE.clear()
-            _KERNEL_CACHE[key] = kernel
+            _KERNEL_CACHE[cache_token] = kernel
         for pdf in batches:
             res = [kernel.lookup_compound(t, max_edit_distance)[0]
                    if t is not None else None

@@ -9,9 +9,18 @@ reduce to a plain groupBy-sum + threshold filter on final state (SURVEY.md
 
 from __future__ import annotations
 
+import re as _re
+
 from pyspark.sql import DataFrame, functions as F
 
 _USIZE_RE = r"^\+?[0-9]+$"
+
+
+def _split_literal(col, separator: str):
+    """F.split interprets its pattern as a Java regex; the reference splits
+    on a LITERAL separator (sym_spell.rs:167-187).  Quote it so separators
+    like '|' or '.' split where the reference does."""
+    return F.split(col, _re.escape(separator))
 
 
 def parse_dictionary_lines(lines: DataFrame, separator: str = " ",
@@ -26,7 +35,7 @@ def parse_dictionary_lines(lines: DataFrame, separator: str = " ",
     v = F.col(value_col)
     if wasm_truncation:
         v = F.expr(f"substring({value_col}, 1, length({value_col}) - 1)")
-    parts = F.split(v, separator)
+    parts = _split_literal(v, separator)
     term = F.element_at(parts, 1)
     raw_count = F.rtrim(F.element_at(parts, 2))
     # Rust parse::<usize>().unwrap_or(0): digits (opt leading +) or 0
@@ -58,7 +67,7 @@ def parse_bigram_lines(lines: DataFrame, separator: str = " ",
     v = F.col(value_col)
     if wasm_truncation:
         v = F.expr(f"substring({value_col}, 1, length({value_col}) - 1)")
-    parts = F.split(v, separator)
+    parts = _split_literal(v, separator)
     raw_count = F.rtrim(F.element_at(parts, 3))
     count = F.when(raw_count.rlike(_USIZE_RE),
                    raw_count.cast("long")).otherwise(F.lit(0))

@@ -13,6 +13,23 @@ from pyspark.sql import types as T
 from ..functions.udfs import osa_distance_udf
 
 
+def osa_similarity(left, right, distance):
+    """DamaerauOSA::similarity (damerau_osa.rs:182-214, converter
+    helpers.rs:67-69): ``1 - distance / codepoint-length of the longer
+    string`` — 1.0 for identical strings, 0.0 for no noteworthy
+    similarity.  Reference quirk preserved: when either side is empty the
+    early returns yield the *empty side's* length, i.e. 0.0, even for two
+    empty (equal) strings.
+
+    IEEE-deterministic: one int/int division + one subtraction, bit-equal
+    across engines (the oracle computes the identical expression).
+    """
+    ln = F.greatest(F.length(left), F.length(right))
+    sim = F.lit(1.0) - distance.cast("double") / ln.cast("double")
+    return F.when((F.length(left) == 0) | (F.length(right) == 0),
+                  F.lit(0.0)).otherwise(sim)
+
+
 def score_pairs_arrow(pairs: DataFrame, left_col: str = "term_a",
                       right_col: str = "term_b", max_distance: int = 2,
                       keep_above_threshold: bool = False) -> DataFrame:

@@ -109,7 +109,8 @@ def _q_bigram_counts(spark, sf_dir):
 _O_BIGRAM_COUNTS = """
 WITH arrs AS (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS l
               FROM documents WHERE text IS NOT NULL),
-pos AS (SELECT unnest(range(1, 4096)) AS i),
+pos AS (SELECT unnest(range(1, (SELECT coalesce(max(len(l)), 1) + 1
+                                FROM arrs))) AS i),
 bg AS (SELECT concat(l[i], ' ', l[i + 1]) AS bigram
        FROM arrs, pos WHERE pos.i < len(l))
 SELECT bigram, count(*) AS cnt FROM bg GROUP BY bigram
@@ -277,6 +278,113 @@ _O_LOOKUP_ALL = (_SQL_LOOKUP_BASE
                  + " SELECT query, term, distance, count FROM scored")
 
 
+def _q_scored_pairs_similarity(spark, sf_dir):
+    """DamaerauOSA::similarity surfaced as a named column op
+    (damerau_osa.rs:182-214; converter helpers.rs:67-69):
+    1 - distance / codepoint-length of the longer string."""
+    from .operators.scoring import osa_similarity
+    blocks = build_blocks(_distinct_terms(spark, sf_dir))
+    scored = score_pairs(candidate_pairs(blocks), max_distance=2)
+    return scored.select(
+        "term_a", "term_b",
+        osa_similarity(F.col("term_a"), F.col("term_b"),
+                       F.col("distance")).alias("similarity"))
+
+
+_O_SCORED_SIMILARITY = (
+    _SQL_CAND_PAIRS +
+    " SELECT term_a, term_b, 1.0 - CAST(damerau_levenshtein(term_a, term_b)"
+    " AS DOUBLE) / CAST(greatest(length(term_a), length(term_b)) AS DOUBLE)"
+    " AS similarity FROM cand"
+    " WHERE damerau_levenshtein(term_a, term_b) <= 2")
+
+
+def _q_lookup_closest_self(spark, sf_dir):
+    """include_self branch under the oracle (sym_spell.rs:311-319): probes
+    NOT anti-joined against the dictionary, so in-dictionary queries take
+    the exact-match short circuit and emit only their self row."""
+    _, words = _lookup_inputs(spark, sf_dir)
+    probes = (words.where(F.length("term") >= 4)
+              .select(F.expr("substring(term, 1, length(term) - 1)")
+                      .alias("query"))
+              .distinct())
+    res = distributed_lookup(probes, words, Verbosity.CLOSEST, 2,
+                             include_self=True)
+    return res.select("query", "term",
+                      F.col("distance").cast("int").alias("distance"),
+                      "count")
+
+
+_O_LOOKUP_CLOSEST_SELF = f"""
+WITH toks AS ({_SQL_TOKS_NE}),
+words AS (SELECT term, count(*) AS count FROM toks
+          WHERE length(term) >= 2 GROUP BY term),
+probes AS (SELECT DISTINCT substr(term, 1, length(term) - 1) AS query
+           FROM words WHERE length(term) >= 4),
+known AS (SELECT p.query, p.query AS term, 0 AS distance, w.count
+          FROM probes p JOIN words w ON w.term = p.query),
+unknown_q AS (SELECT query FROM probes
+              WHERE query NOT IN (SELECT term FROM words)),
+scored AS (
+    SELECT q.query, w.term,
+           CAST(damerau_levenshtein(q.query, w.term) AS INTEGER) AS distance,
+           w.count
+    FROM unknown_q q JOIN words w
+      ON damerau_levenshtein(q.query, w.term) <= 2 AND w.term <> q.query)
+SELECT query, term, distance, count FROM scored s
+WHERE distance = (SELECT min(distance) FROM scored s2 WHERE s2.query = s.query)
+UNION ALL
+SELECT query, term, distance, count FROM known
+"""
+
+
+def _q_lookup_top_unknown(spark, sf_dir):
+    """include_unknown branch under the oracle (sym_spell.rs:298-303):
+    probes include deliberately-mangled terms (term || 'qx') so a subset
+    has no suggestion within the distance bound and synthesizes
+    (query, query, med+1, 0)."""
+    _, words = _lookup_inputs(spark, sf_dir)
+    base = words.where(F.length("term") >= 4)
+    p1 = base.select(F.expr("substring(term, 1, length(term) - 1)")
+                     .alias("query"))
+    p2 = base.select(F.concat(F.col("term"), F.lit("qx")).alias("query"))
+    probes = (p1.union(p2).distinct()
+              .join(words.select(F.col("term").alias("query")), "query",
+                    "left_anti"))
+    res = distributed_lookup(probes, words, Verbosity.TOP, 2,
+                             include_unknown=True)
+    return res.select("query", "term",
+                      F.col("distance").cast("int").alias("distance"),
+                      "count")
+
+
+_O_LOOKUP_TOP_UNKNOWN = f"""
+WITH toks AS ({_SQL_TOKS_NE}),
+words AS (SELECT term, count(*) AS count FROM toks
+          WHERE length(term) >= 2 GROUP BY term),
+probes AS (SELECT DISTINCT query FROM (
+        SELECT substr(term, 1, length(term) - 1) AS query FROM words
+        WHERE length(term) >= 4
+        UNION ALL
+        SELECT term || 'qx' FROM words WHERE length(term) >= 4)
+    WHERE query NOT IN (SELECT term FROM words)),
+scored AS (
+    SELECT q.query, w.term,
+           CAST(damerau_levenshtein(q.query, w.term) AS INTEGER) AS distance,
+           w.count
+    FROM probes q JOIN words w
+      ON damerau_levenshtein(q.query, w.term) <= 2 AND w.term <> q.query),
+top AS (SELECT query, term, distance, count FROM (
+    SELECT *, row_number() OVER (PARTITION BY query
+        ORDER BY distance ASC, count DESC, term ASC) AS rn FROM scored)
+    WHERE rn = 1)
+SELECT query, term, distance, count FROM top
+UNION ALL
+SELECT query, query AS term, 3 AS distance, CAST(0 AS BIGINT) AS count
+FROM probes WHERE query NOT IN (SELECT query FROM top)
+"""
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline operators
 # ---------------------------------------------------------------------------
@@ -308,7 +416,8 @@ def _shingles(spark, sf_dir):
 _SQL_SHINGLES = """
 arrs AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
          FROM documents WHERE text IS NOT NULL),
-pos AS (SELECT unnest(range(1, 4096)) AS i),
+pos AS (SELECT unnest(range(1, (SELECT coalesce(max(len(l)), 1) + 1
+                                FROM arrs))) AS i),
 sh AS (SELECT DISTINCT doc_id,
               concat(l[i], ' ', l[i + 1], ' ', l[i + 2]) AS sh
        FROM arrs, pos WHERE pos.i + 2 <= len(l))"""
@@ -535,6 +644,105 @@ def _o_lsh_sql() -> str:
             + " AS BIGINT) AS bucket FROM e")
 
 
+# OR-construction LSH dedup: R independent hyperplane tables of B planes
+# each; a pair is a candidate when it shares a bucket in ANY table
+# (standard high-recall ANN blocking — recall 1-(1-p^B)^R for per-plane
+# agreement p = 1-θ/π), then exact-cosine re-rank + threshold.  This is
+# the 100-TB-shape replacement for the all-pairs dedup_embedding fixture:
+# candidate volume is R·Σ_buckets c² instead of N².
+#
+# Fixture note: the synthetic embeddings contain no true near-duplicates
+# (max pairwise cosine 0.51 at sf0.01), and sign-LSH is mathematically
+# unable to block a 0.35-cosine (θ≈69°) threshold efficiently at ANY
+# parameterization (p≈0.62 → required R makes candidates exceed N²/2) —
+# that threshold belongs to the exact fixture.  So this query augments the
+# input with deterministically jittered copies (vec_id+10^6, ±3 per
+# quantized dim → cosine ≈ 0.999), the regime LSH dedup exists for, and
+# thresholds at 0.95 where 8 planes × 2 tables give recall ≈ 0.99
+# (property-tested against brute force in tests/test_spark_operators.py).
+_LSH_DEDUP_TABLES = 2
+_LSH_DEDUP_PLANES = 8
+_LSH_DEDUP_THRESHOLD = 0.95
+_JITTER_ID_OFFSET = 1_000_000
+
+
+def _lsh_dedup_input(spark, sf_dir):
+    """Quantized embeddings ∪ deterministic jittered copies —
+    (vec_id, v:array<long>, nrm)."""
+    emb = load(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", F.expr(
+        "transform(embedding, x -> CAST(round(x * 1000) AS BIGINT))")
+        .alias("v"))
+    jit = base.select(
+        (F.col("vec_id") + F.lit(_JITTER_ID_OFFSET)).alias("vec_id"),
+        F.expr("zip_with(v, sequence(0L, size(v) - 1), "
+               "(x, i) -> x + (vec_id + i) % 7 - 3)").alias("v"))
+    return (base.union(jit)
+            .withColumn("nrm",
+                        F.expr("aggregate(v, 0L, (a, x) -> a + x * x)")))
+
+
+def _q_dedup_embedding_lsh(spark, sf_dir):
+    from .operators.similarity import lsh_signature_expr
+    aug = _lsh_dedup_input(spark, sf_dir)
+    cands = None
+    for t in range(_LSH_DEDUP_TABLES):
+        b = aug.withColumn("bucket", lsh_signature_expr(
+            _LSH_DEDUP_PLANES, _LSH_DIMS, _LSH_SEED + 1000 * (t + 1)))
+        a = b.select(F.col("vec_id").alias("vec_a"), "bucket")
+        c = b.select(F.col("vec_id").alias("vec_b"), "bucket")
+        p = (a.join(c, "bucket")
+             .where(F.col("vec_a") < F.col("vec_b"))
+             .select("vec_a", "vec_b"))
+        cands = p if cands is None else cands.union(p)
+    cands = cands.distinct()
+    na = aug.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
+                    F.col("nrm").alias("nrm_a"))
+    nb = aug.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
+                    F.col("nrm").alias("nrm_b"))
+    return (cands.join(na, "vec_a").join(nb, "vec_b")
+            .withColumn("dot", F.expr(
+                "aggregate(zip_with(va, vb, (x, y) -> x * y), 0L, "
+                "(acc, x) -> acc + x)"))
+            .where(F.col("dot") / (F.sqrt("nrm_a") * F.sqrt("nrm_b"))
+                   >= _LSH_DEDUP_THRESHOLD)
+            .select("vec_a", "vec_b"))
+
+
+def _o_dedup_lsh_sql() -> str:
+    from .operators.similarity import _hyperplane
+    buckets = []
+    for t in range(_LSH_DEDUP_TABLES):
+        seed = _LSH_SEED + 1000 * (t + 1)
+        terms = []
+        for p in range(_LSH_DEDUP_PLANES):
+            coeffs = [_hyperplane(seed, p, d) for d in range(_LSH_DIMS)]
+            arr = "[" + ",".join(str(c) for c in coeffs) + "]"
+            dot = (f"list_sum(list_transform(list_zip(v, {arr}::BIGINT[]), "
+                   "q -> q[1] * q[2]))")
+            terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END)")
+        buckets.append(
+            f"SELECT vec_id, {t} AS tbl, CAST(" + " + ".join(terms)
+            + " AS BIGINT) AS bucket FROM aug")
+    return (
+        "WITH e AS (SELECT vec_id, list_transform(embedding, "
+        "x -> CAST(round(x * 1000) AS BIGINT)) AS v FROM embeddings), "
+        f"jit AS (SELECT vec_id + {_JITTER_ID_OFFSET} AS vec_id, "
+        "list_transform(list_zip(v, range(0, len(v))), "
+        "p -> p[1] + (vec_id + p[2]) % 7 - 3) AS v FROM e), "
+        "aug AS (SELECT * FROM e UNION ALL SELECT * FROM jit), "
+        "n AS (SELECT vec_id, v, list_sum(list_transform(v, x -> x * x)) "
+        "AS nrm FROM aug), "
+        "bk AS (" + " UNION ALL ".join(buckets) + "), "
+        "cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b "
+        "FROM bk a JOIN bk b ON a.tbl = b.tbl AND a.bucket = b.bucket "
+        "AND a.vec_id < b.vec_id) "
+        "SELECT c.vec_a, c.vec_b FROM cand c "
+        "JOIN n x ON x.vec_id = c.vec_a JOIN n y ON y.vec_id = c.vec_b "
+        "WHERE list_sum(list_transform(list_zip(x.v, y.v), p -> p[1] * p[2]))"
+        f" / (sqrt(x.nrm) * sqrt(y.nrm)) >= {_LSH_DEDUP_THRESHOLD}")
+
+
 _STOPWORDS = ("the", "a")
 
 
@@ -603,6 +811,189 @@ SELECT doc_id, strlen(text) AS n_bytes,
            c -> CAST(unicode(c) AS BIGINT))) AS BIGINT) AS byte_sum
 FROM documents WHERE text IS NOT NULL
 """
+
+
+# ---------------------------------------------------------------------------
+# lookup_compound under the oracle (sym_spell.rs:523-676)
+#
+# The full compound algorithm is a data-dependent sequential scan per
+# document (combi state, nested fuzzy lookups) and cannot be replicated in
+# portable SQL in general — but three of its four code paths CAN be pinned
+# exactly on constrained probe sets where every nested lookup resolves to
+# an exact-match short circuit or a provable miss:
+#
+#   * compound_known  — in-dictionary single tokens (exact path,
+#     sym_spell.rs:580-582) and 1-char tokens (the transposed-args
+#     unknown-term quirk, sym_spell.rs:648-652 — distance and count
+#     swapped), plus the final Naive-Bayes product and final-OSA distance;
+#   * compound_split  — probes built as s1||s2 from two dictionary terms
+#     such that the probe has no fuzzy suggestion and NO other split
+#     position has both parts matchable: the split loop
+#     (sym_spell.rs:592-647) then provably selects (s1 ' ' s2) with
+#     distance 1 and Naive-Bayes count trunc(c1/N*c2) — which truncates
+#     to 0 for corpus-scale counts, making the expected row fully
+#     SQL-expressible;
+#   * compound_correct — the unconstrained API over real document text
+#     (rows-only check: no oracle can exist for the combi path).
+#
+# The merge/combi path stays covered by the golden kernel tests
+# (tests/test_kernel_symspell_goldens.py, both locales + bigrams).
+# ---------------------------------------------------------------------------
+
+_N_SYMSPELL = 1024908267229.0  # corpus-size constant N (sym_spell.rs:46)
+
+
+def _compound_words(spark, sf_dir):
+    return (_tokens(spark, sf_dir).groupBy("term")
+            .agg(F.count(F.lit(1)).alias("count"))
+            .where(F.length("term") >= 2))
+
+
+def _q_compound_known(spark, sf_dir):
+    from .operators.compound import compound_correct
+    toks = _tokens(spark, sf_dir)
+    words = _compound_words(spark, sf_dir)
+    probes = (words.where(F.col("term").rlike("^[a-z]+$"))
+              .select(F.col("term").alias("text")))
+    ones = (toks.where(F.col("term").rlike("^[a-z]$"))
+            .select(F.col("term").alias("text")).distinct())
+    docs = probes.unionByName(ones)
+    out = compound_correct(docs, "text", words, None, 2, 7,
+                           id_cols=("text",))
+    return out.select(F.col("text").alias("query"), "corrected",
+                      F.col("distance").cast("int").alias("distance"),
+                      "count")
+
+
+_O_COMPOUND_KNOWN = f"""
+WITH toks AS ({_SQL_TOKS_NE}),
+words AS (SELECT term, count(*) AS count FROM toks
+          WHERE length(term) >= 2 GROUP BY term)
+SELECT term AS query, term AS corrected, 0 AS distance,
+       CAST(trunc({_N_SYMSPELL!r} * (count / {_N_SYMSPELL!r})) AS BIGINT)
+           AS count
+FROM words WHERE regexp_matches(term, '^[a-z]+$')
+UNION ALL
+SELECT DISTINCT term AS query, term AS corrected, 0 AS distance,
+       CAST(trunc({_N_SYMSPELL!r} * (3 / {_N_SYMSPELL!r})) AS BIGINT)
+           AS count
+FROM toks WHERE regexp_matches(term, '^[a-z]$')
+"""
+
+_SPLIT_PARTS_K = 40  # split probes built from the top-K dictionary terms
+
+
+def _q_compound_split(spark, sf_dir):
+    """Why the expected row is provable: with no whole-probe fuzzy
+    suggestion, the split loop's winner is the first distance-1 candidate
+    (distance dominance; Naive-Bayes counts all truncate to 0 so count
+    never breaks a distance tie upward).  A split candidate has distance 1
+    iff its corrected parts concatenate to the probe (space insertion) or
+    skip exactly one probe char (space substitution); requiring exactly ONE
+    insert-decomposition and ZERO skip-decompositions makes every
+    distance-1 candidate the same string s1||' '||s2 regardless of lookup
+    tie-breaks, so the output is order-independent and SQL-expressible."""
+    from .functions.udfs import osa_distance_udf
+    from .operators.compound import compound_correct
+    words = _compound_words(spark, sf_dir)
+    w = (words.where(F.col("term").rlike("^[a-z]+$"))
+         .orderBy(F.desc("count"), F.asc("term")).limit(_SPLIT_PARTS_K)
+         .select("term"))
+    cand = (w.select(F.col("term").alias("s1"))
+            .crossJoin(w.select(F.col("term").alias("s2")))
+            .select(F.concat("s1", "s2").alias("text"))
+            .join(words.select(F.col("term").alias("text")), "text",
+                  "left_anti")
+            .distinct())
+    # probes with no whole-term fuzzy suggestion (OSA <= 2)
+    osa = osa_distance_udf(2)
+    wd = F.broadcast(words.select(F.col("term").alias("w"),
+                                  F.length("term").alias("wl")))
+    fuzzy = (cand.join(wd, (F.abs(F.length("text") - F.col("wl")) <= 2)
+                       & (F.col("text") != F.col("w")))
+             .where(osa(F.col("text"), F.col("w")).isNotNull())
+             .select("text").distinct())
+    nofuzzy = cand.join(fuzzy, "text", "left_anti")
+
+    js = nofuzzy.select(
+        "text", F.explode(F.sequence(F.lit(1),
+                                     F.length("text") - 1)).alias("j"))
+    wset = F.broadcast(words.select("term"))
+    decomp = (js.select("text", "j",
+                        F.expr("substring(text, 1, j)").alias("p1"),
+                        F.expr("substring(text, j + 1, length(text))")
+                        .alias("p2"))
+              .join(wset.withColumnRenamed("term", "p1"), "p1", "left_semi")
+              .join(wset.withColumnRenamed("term", "p2"), "p2", "left_semi"))
+    uniq = (decomp.groupBy("text")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min("j").alias("j"))
+            .where(F.col("n") == 1))
+    skips = (js.where(F.col("j") <= F.length("text") - 2)
+             .select("text",
+                     F.expr("substring(text, 1, j)").alias("p1"),
+                     F.expr("substring(text, j + 2, length(text))")
+                     .alias("p2"))
+             .join(wset.withColumnRenamed("term", "p1"), "p1", "left_semi")
+             .join(wset.withColumnRenamed("term", "p2"), "p2", "left_semi")
+             .select("text").distinct())
+    good = (nofuzzy.join(uniq.select("text"), "text", "left_semi")
+            .join(skips, "text", "left_anti"))
+
+    out = compound_correct(good, "text", words, None, 2, 7,
+                           id_cols=("text",))
+    return out.select(F.col("text").alias("query"), "corrected",
+                      F.col("distance").cast("int").alias("distance"),
+                      "count")
+
+
+_O_COMPOUND_SPLIT = f"""
+WITH toks AS ({_SQL_TOKS_NE}),
+words AS (SELECT term, count(*) AS count FROM toks
+          WHERE length(term) >= 2 GROUP BY term),
+w AS (SELECT term FROM words WHERE regexp_matches(term, '^[a-z]+$')
+      ORDER BY count DESC, term ASC LIMIT {_SPLIT_PARTS_K}),
+cand AS (SELECT DISTINCT a.term || b.term AS text
+         FROM w a CROSS JOIN w b
+         WHERE a.term || b.term NOT IN (SELECT term FROM words)),
+nofuzzy AS (SELECT c.text FROM cand c WHERE NOT EXISTS (
+    SELECT 1 FROM words x
+    WHERE x.term <> c.text
+      AND abs(length(x.term) - length(c.text)) <= 2
+      AND damerau_levenshtein(c.text, x.term) <= 2)),
+js AS (SELECT text, unnest(range(1, length(text))) AS j FROM nofuzzy),
+decomp AS (SELECT text, count(*) AS n, min(j) AS j FROM js
+           WHERE substr(text, 1, j) IN (SELECT term FROM words)
+             AND substr(text, j + 1) IN (SELECT term FROM words)
+           GROUP BY text),
+skips AS (SELECT DISTINCT text FROM js
+          WHERE j <= length(text) - 2
+            AND substr(text, 1, j) IN (SELECT term FROM words)
+            AND substr(text, j + 2) IN (SELECT term FROM words))
+SELECT d.text AS query,
+       substr(d.text, 1, d.j) || ' ' || substr(d.text, d.j + 1) AS corrected,
+       1 AS distance, CAST(0 AS BIGINT) AS count
+FROM decomp d
+WHERE d.n = 1 AND d.text NOT IN (SELECT text FROM skips)
+"""
+
+
+def _q_compound_correct(spark, sf_dir):
+    """The unconstrained lookup_compound API over real document text —
+    rows-only driver check (no SQL oracle can express the combi path;
+    golden-tested against the reference in the kernel suite)."""
+    from .operators.compound import compound_correct
+    docs = (load(spark, sf_dir, "documents")
+            .where(F.col("text").isNotNull())
+            .select("doc_id", F.lower("text").alias("text")))
+    words = _compound_words(spark, sf_dir)
+    bigrams = (_q_bigram_counts(spark, sf_dir)
+               .select("bigram", F.col("cnt").alias("count")))
+    out = compound_correct(docs, "text", words, bigrams, 2, 7,
+                           id_cols=("doc_id",))
+    return out.select("doc_id", "corrected",
+                      F.col("distance").cast("int").alias("distance"),
+                      "count")
 
 
 # ---------------------------------------------------------------------------
@@ -722,10 +1113,17 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "candidate_pairs": (_q_candidate_pairs, _O_CAND_PAIRS),
     "scored_pairs_osa": (_q_scored_pairs_osa, _O_SCORED_OSA),
     "scored_pairs_lev": (_q_scored_pairs_lev, _O_SCORED_LEV),
+    "scored_pairs_similarity": (_q_scored_pairs_similarity,
+                                _O_SCORED_SIMILARITY),
     "term_clusters": (_q_term_clusters, _O_TERM_CLUSTERS),
     "lookup_closest": (_q_lookup_closest, _O_LOOKUP_CLOSEST),
     "lookup_top": (_q_lookup_top, _O_LOOKUP_TOP),
     "lookup_all": (_q_lookup_all, _O_LOOKUP_ALL),
+    "lookup_closest_self": (_q_lookup_closest_self, _O_LOOKUP_CLOSEST_SELF),
+    "lookup_top_unknown": (_q_lookup_top_unknown, _O_LOOKUP_TOP_UNKNOWN),
+    "compound_known": (_q_compound_known, _O_COMPOUND_KNOWN),
+    "compound_split": (_q_compound_split, _O_COMPOUND_SPLIT),
+    "compound_correct": (_q_compound_correct, None),
     "dictionary_export": (_q_dictionary_export, _O_DICTIONARY_EXPORT),
     "dedup_exact": (_q_dedup_exact, _O_DEDUP_EXACT),
     "dedup_ngram_jaccard": (_q_dedup_ngram_jaccard, _O_NGRAM_JACCARD),
@@ -734,6 +1132,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "simhash": (_q_simhash, _O_SIMHASH),
     "embedding_knn": (_q_embedding_knn, _O_EMBEDDING_KNN),
     "dedup_embedding": (_q_dedup_embedding, _O_DEDUP_EMBEDDING),
+    "dedup_embedding_lsh": (_q_dedup_embedding_lsh, _o_dedup_lsh_sql()),
     "ann_lsh_buckets": (_q_ann_lsh_buckets, _o_lsh_sql()),
     "text_stats": (_q_text_stats, _O_TEXT_STATS),
     "doc_fingerprint": (_q_doc_fingerprint, _O_DOC_FINGERPRINT),

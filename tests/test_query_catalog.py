@@ -41,6 +41,11 @@ def test_query_matches_oracle(spark, ddb, name):
     sdf = fn(spark, SF_DIR)
     srows = [tuple(r) for r in sdf.collect()]
     scols = sdf.columns
+    if sql is None:
+        # rows-only contract entry (non-SQL-expressible op): must run and
+        # produce rows with a stable schema
+        assert len(srows) > 0 and len(scols) > 0
+        return
     ores = ddb.sql(sql)
     orows = ores.fetchall()
     ocols = [d[0] for d in ores.description]
@@ -54,5 +59,6 @@ def test_catalog_queries_nonempty(spark, ddb):
     """Guard against vacuous green: every oracle-checked query must return
     rows at this SF (a correctness gate over empty sets proves nothing)."""
     empty = [name for name, (_, sql) in CATALOG.items()
-             if not ddb.sql(f"SELECT 1 FROM ({sql}) LIMIT 1").fetchall()]
+             if sql is not None
+             and not ddb.sql(f"SELECT 1 FROM ({sql}) LIMIT 1").fetchall()]
     assert not empty, f"queries with empty results: {empty}"

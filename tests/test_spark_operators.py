@@ -163,3 +163,35 @@ def test_connected_components_strings(spark):
     got = {r["node"]: r["component"] for r in connected_components(edf).collect()}
     assert got == {"banana": "banan", "bananna": "banan", "banan": "banan",
                    "zed": "zed", "zed2": "zed"}
+
+
+def test_lsh_dedup_recall_vs_brute_force(spark):
+    """OR-construction LSH dedup (queries.dedup_embedding_lsh) must reach
+    the configured recall vs the exact brute-force pair set at the same
+    threshold, and never emit a pair the exact scan would not (precision 1
+    by construction: candidates are exact-cosine re-ranked)."""
+    from pyspark.sql import functions as F
+
+    from spellchecker_wasm_spark.queries import (
+        _LSH_DEDUP_THRESHOLD, _lsh_dedup_input, _q_dedup_embedding_lsh)
+
+    sf = "/root/testdata/sf0.001"
+    aug = _lsh_dedup_input(spark, sf)
+    a = aug.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
+                   F.col("nrm").alias("na"))
+    b = aug.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
+                   F.col("nrm").alias("nb"))
+    exact = {(r[0], r[1]) for r in (
+        a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
+        .withColumn("dot", F.expr(
+            "aggregate(zip_with(va, vb, (x, y) -> x * y), 0L, "
+            "(a, x) -> a + x)"))
+        .where(F.col("dot") / (F.sqrt("na") * F.sqrt("nb"))
+               >= _LSH_DEDUP_THRESHOLD)
+        .select("vec_a", "vec_b")).collect()}
+    lsh = {(r[0], r[1])
+           for r in _q_dedup_embedding_lsh(spark, sf).collect()}
+    assert lsh <= exact            # exact re-rank: no false positives
+    assert len(exact) >= 100       # fixture is non-vacuous
+    recall = len(lsh & exact) / len(exact)
+    assert recall >= 0.95, recall  # measured 0.996 (theory: 1-(1-p^8)^2)
