@@ -37,13 +37,12 @@ _ENTITIES_BY_SF = {"sf0.001": 60, "sf0.01": 600, "sf0.1": 6000}
 def run_pipeline_bench(spark, sf_name: str) -> dict:
     from pyspark.sql import functions as F
 
-    from spellchecker_wasm_spark.operators.blocking import cap_hot_blocks
     from spellchecker_wasm_spark.operators.clustering import (
         connected_components)
     from spellchecker_wasm_spark.operators.pairs import candidate_pairs
     from spellchecker_wasm_spark.operators.scoring import score_pairs
     from spellchecker_wasm_spark.pipeline.linkage import (
-        LinkageConfig, pages_to_blocks, pairwise_f1)
+        LinkageConfig, hot_keys_vocab, pairwise_f1)
     from spellchecker_wasm_spark.pipeline.webpages import synthesize_pages_spark
 
     n_entities = int(os.environ.get("BENCH_ENTITIES", "0")) or _ENTITIES_BY_SF.get(sf_name, 600)
@@ -58,16 +57,27 @@ def run_pipeline_bench(spark, sf_name: str) -> dict:
     gen_wall = time.time() - t0
 
     t0 = time.time()
-    blocks = (pages_to_blocks(pages, cfg)
-              .select(F.xxhash64("url").alias("page_id"), "title",
-                      "block_key"))
-    capped, dropped = cap_hot_blocks(blocks, cfg.max_block_size)
     from spellchecker_wasm_spark.functions.text_expr import title_expr
-    dim = pages.select(F.xxhash64("url").alias("id"),
-                       title_expr(F.col("html")).alias("term"))
-    pairs = candidate_pairs(capped, id_col="page_id", term_col="title",
+    from spellchecker_wasm_spark.pipeline.linkage import (
+        title_block_keys, title_prefixes_array)
+    pdim = (pages.where(F.col("html").isNotNull())
+            .select(F.xxhash64("url").alias("id"),
+                    title_expr(F.col("html")).alias("title"))
+            .persist())
+    blocks = (pdim.select(
+        F.col("id").alias("page_id"), F.length("title").alias("tl"),
+        F.explode(title_block_keys(F.col("title"), cfg)).alias("k"))
+        .select("page_id", "tl", F.xxhash64("k").alias("block_key")))
+    toks = pdim.select(F.explode(
+        title_prefixes_array(F.col("title"), cfg)).alias("prefix"))
+    hot = hot_keys_vocab(toks, cfg)
+    capped = (blocks.join(F.broadcast(hot.select("block_key")),
+                          "block_key", "left_anti")
+              .persist())
+    dim = pdim.select("id", F.col("title").alias("term"))
+    pairs = candidate_pairs(capped, id_col="page_id",
                             max_len_diff=cfg.max_edit_distance,
-                            dim=dim).cache()
+                            dim=dim, len_col="tl").cache()
     n_pairs = pairs.count()
     block_wall = time.time() - t0
 

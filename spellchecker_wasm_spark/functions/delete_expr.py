@@ -57,15 +57,28 @@ def _masks(max_edit_distance: int, prefix_length: int):
         yield from combinations(range(1, prefix_length + 1), k)
 
 
-def delete_keys_array(term: Column,
-                      max_edit_distance: int = DEFAULT_MAX_EDIT_DISTANCE,
-                      prefix_length: int = DEFAULT_PREFIX_LENGTH) -> Column:
-    """array<string> of dictionary-side blocking keys for ``term`` —
-    set-identical to kernels.deletes.generate_deletes (create_deletes,
-    sym_spell.rs:243-261), as a single Catalyst expression."""
-    prefix = F.substring(term, 1, prefix_length)
+def delete_keys_of_prefix(prefix: Column,
+                          max_edit_distance: int = DEFAULT_MAX_EDIT_DISTANCE,
+                          prefix_length: int = DEFAULT_PREFIX_LENGTH) -> Column:
+    """delete_keys_array for an ALREADY prefix-truncated input.
+
+    Callers that explode many terms per row (the blocking scan) should
+    truncate first and call this — the inner ``substring(term, 1, P)``
+    otherwise replicates ~3× per mask across the ~30-mask family, tripling
+    both the codegen source (janino compile latency is a measured fixed
+    cost per plan) and per-row evaluation work.
+
+    Correctness requires prefix_length > max_edit_distance (true for every
+    real SymSpell configuration): then ``len(term) ≤ d ⟺ len(prefix) ≤ d``
+    so the empty-key rule can read the prefix length (at prefix_length ==
+    d, a longer term truncates to exactly d codepoints and would wrongly
+    gain the empty key).
+    """
+    if prefix_length <= max_edit_distance:
+        raise ValueError("delete_keys_of_prefix requires "
+                         "prefix_length > max_edit_distance")
     pl = F.length(prefix)
-    term_len = F.length(term)
+    term_len = pl
     keys: list[Column] = [prefix]
     for positions in _masks(max_edit_distance, prefix_length):
         maxpos = positions[-1]
@@ -82,6 +95,40 @@ def delete_keys_array(term: Column,
         keys.append(F.when(cond, d))
     # terms of <= max_edit_distance codepoints key the empty string
     # (sym_spell.rs:252-254)
+    keys.append(F.when(term_len <= max_edit_distance, F.lit("")))
+    return F.array_distinct(F.array_compact(F.array(*keys)))
+
+
+def delete_keys_array(term: Column,
+                      max_edit_distance: int = DEFAULT_MAX_EDIT_DISTANCE,
+                      prefix_length: int = DEFAULT_PREFIX_LENGTH) -> Column:
+    """array<string> of dictionary-side blocking keys for ``term`` —
+    set-identical to kernels.deletes.generate_deletes (create_deletes,
+    sym_spell.rs:243-261), as a single Catalyst expression."""
+    if prefix_length > max_edit_distance:
+        return delete_keys_of_prefix(F.substring(term, 1, prefix_length),
+                                     max_edit_distance, prefix_length)
+    return _delete_keys_general(term, max_edit_distance, prefix_length)
+
+
+def _delete_keys_general(term: Column, max_edit_distance: int,
+                         prefix_length: int) -> Column:
+    """Full form for the exotic prefix_length < max_edit_distance case,
+    where the empty-key rule must read the UNTRUNCATED term length."""
+    prefix = F.substring(term, 1, prefix_length)
+    pl = F.length(prefix)
+    term_len = F.length(term)
+    keys: list[Column] = [prefix]
+    for positions in _masks(max_edit_distance, prefix_length):
+        maxpos = positions[-1]
+        k = len(positions)
+        d = _delete_mask_expr(prefix, positions, prefix_length)
+        if positions == tuple(range(1, k + 1)):
+            cond = (pl > maxpos) | ((pl == maxpos)
+                                    & (F.octet_length(prefix) > pl))
+        else:
+            cond = pl >= maxpos
+        keys.append(F.when(cond, d))
     keys.append(F.when(term_len <= max_edit_distance, F.lit("")))
     return F.array_distinct(F.array_compact(F.array(*keys)))
 

@@ -22,7 +22,8 @@ from pyspark.sql import DataFrame, functions as F
 def candidate_pairs(blocks: DataFrame, id_col: str = "term",
                     term_col: str = "term",
                     max_len_diff: int = 2,
-                    dim: DataFrame | None = None) -> DataFrame:
+                    dim: DataFrame | None = None,
+                    len_col: str | None = None) -> DataFrame:
     """blocks(block_key, id, term) self-join → (id_a, id_b, term_a, term_b)
     with id_a < id_b, deduplicated across shared keys.
 
@@ -40,6 +41,12 @@ def candidate_pairs(blocks: DataFrame, id_col: str = "term",
     caller-supplied dimension is also what AQE can broadcast.  Measured
     2.8× faster on the sf0.1 pipeline (10.1s → 3.6s warm for the pair
     stage).
+
+    ``len_col``: optional precomputed term-length int column in ``blocks``.
+    With it (and ``dim``), blocks need not carry the term string at all —
+    the ~80×-fan-out explode and the self-join shuffle move (id:long,
+    key:string, len:int) rows instead of dragging the title payload
+    through every exchange (~2× narrower at web-page title widths).
     """
     if id_col == term_col:
         a = blocks.select(F.col(term_col).alias("term"), "block_key").alias("a")
@@ -55,8 +62,12 @@ def candidate_pairs(blocks: DataFrame, id_col: str = "term",
                         F.col("b.term").alias("term_b"))
                 .distinct())
 
+    if len_col is not None and dim is None:
+        raise ValueError("len_col requires a caller-supplied dim "
+                         "(blocks carry no term payload to derive one)")
+    tl = F.col(len_col) if len_col else F.length(term_col)
     slim = blocks.select(F.col(id_col).alias("id"), "block_key",
-                         F.length(term_col).alias("tl"))
+                         tl.alias("tl"))
     a = slim.alias("a")
     b = slim.alias("b")
     cond = ((F.col("a.block_key") == F.col("b.block_key"))
@@ -74,3 +85,97 @@ def candidate_pairs(blocks: DataFrame, id_col: str = "term",
                              F.col("term").alias("term_a")), "id_a")
             .join(dim.select(F.col("id").alias("id_b"),
                              F.col("term").alias("term_b")), "id_b"))
+
+
+def candidate_pairs_prefix(toks: DataFrame, id_col: str = "page_id",
+                           prefix_col: str = "prefix", len_col: str = "tl",
+                           max_len_diff: int = 2,
+                           max_edit_distance: int = 2,
+                           prefix_length: int = 7,
+                           max_block_size: int = 500
+                           ) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Two-level blocking: delete-key pairing at the VOCABULARY level, then
+    expansion of matched prefix pairs to entity pairs.
+
+    toks(id, prefix, len) — distinct (id, token-prefix) rows — →
+    (pairs(id_a, id_b), dropped_prefixes, dropped_keys).
+
+    Why two levels: the flat design explodes ~25 delete keys per (page,
+    token) — O(corpus × fan-out) rows through persist/count/self-join —
+    and the self-join emits every pair once per SHARED KEY (measured 4-13×
+    duplication into the dedup shuffle).  The delete-neighborhood
+    structure, like SymSpell's own dictionary, only depends on the token
+    vocabulary, which grows sublinearly in the corpus (Heaps' law): keying
+    the distinct prefixes costs O(vocab × fan-out), the prefix-pair join
+    dedups at vocabulary cardinality, and the corpus-scale work is reduced
+    to (a) one distinct (id, prefix) scan and (b) an expansion join whose
+    output is ~the final candidate set (duplication = shared distinct
+    token pairs, ~1-2×, instead of shared keys).  Identity with the flat
+    candidate set (uncapped) is property-tested.
+
+    Skew cap, with logged drop accounting (returned, never silent):
+    delete keys whose PAGE-WEIGHTED posting (Σ over posting prefixes of
+    that prefix's page count) exceeds ``max_block_size`` are dropped —
+    exactly the flat design's cap_hot_blocks semantics, since a flat key's
+    posting count is that same sum.  A prefix pair (including a prefix
+    with itself) survives iff it shares at least one surviving key —
+    byte-identical candidate sets to the capped flat path (asserted in
+    tests/test_pipeline_linkage.py).
+    """
+    from ..functions.delete_expr import delete_keys_array
+
+    t = toks.select(F.col(id_col).alias("id"),
+                    F.col(prefix_col).alias("prefix"),
+                    F.col(len_col).alias("tl"))
+    pc = t.groupBy("prefix").agg(F.count(F.lit(1)).alias("n_pages"))
+
+    vkeys = pc.select(
+        "prefix", "n_pages",
+        F.explode(delete_keys_array(F.col("prefix"), max_edit_distance,
+                                    prefix_length)).alias("block_key"))
+    kw = vkeys.groupBy("block_key").agg(F.sum("n_pages").alias("weight"))
+    hot_key = kw.where(F.col("weight") > max_block_size)
+    # vk is consumed 4× (both self-join sides, the diag gate, accounting)
+    # and its lineage includes the page-count shuffle — persist it; it is
+    # vocabulary-sized (|prefixes| × ~25 keys), orders of magnitude below
+    # the corpus, so this is a cheap, bounded materialization at any scale
+    vk = (vkeys.join(F.broadcast(hot_key.select("block_key")), "block_key",
+                     "left_anti")
+          .select("prefix", "block_key")
+          .persist())
+    hot_prefix = (pc.join(vk.select("prefix").distinct(), "prefix",
+                          "left_anti")
+                  .where(F.col("n_pages") > 0))
+
+    a = vk.alias("a")
+    b = vk.alias("b")
+    cross = (a.join(b, (F.col("a.block_key") == F.col("b.block_key"))
+                    & (F.col("a.prefix") < F.col("b.prefix")))
+             .select(F.col("a.prefix").alias("pa"),
+                     F.col("b.prefix").alias("pb"))
+             .distinct())
+
+    A = t.select(F.col("id").alias("id_a"), F.col("prefix").alias("pa"),
+                 F.col("tl").alias("tl_a"))
+    B = t.select(F.col("id").alias("id_b"), F.col("prefix").alias("pb"),
+                 F.col("tl").alias("tl_b"))
+    # identical shared prefix: pairs survive iff the prefix retains any
+    # key; symmetric equi-join, id order kept directly
+    diag_prefixes = vk.select(F.col("prefix").alias("pa")).distinct()
+    diag = (A.join(diag_prefixes, "pa", "left_semi")
+            .join(B.withColumnRenamed("pb", "pa"), "pa")
+            .where((F.col("id_a") < F.col("id_b"))
+                   & (F.abs(F.col("tl_a") - F.col("tl_b")) <= max_len_diff))
+            .select("id_a", "id_b"))
+    # distinct prefixes within the distance bound: both orientations of
+    # page ownership occur, so canonicalize with least/greatest (a plain
+    # id_a < id_b join condition would drop pairs where the larger id owns
+    # the smaller prefix)
+    crossx = (cross.join(A, "pa").join(B, "pb")
+              .where((F.col("id_a") != F.col("id_b"))
+                     & (F.abs(F.col("tl_a") - F.col("tl_b"))
+                        <= max_len_diff))
+              .select(F.least("id_a", "id_b").alias("id_a"),
+                      F.greatest("id_a", "id_b").alias("id_b")))
+    pairs = diag.union(crossx).distinct()
+    return pairs, hot_prefix, hot_key

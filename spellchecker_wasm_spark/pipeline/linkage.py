@@ -9,14 +9,17 @@ pages(url, warc_ts, html, text, lang)
   → large-star/small-star connected components               [stage clusters]
 
 Scale design notes (10^12 documents):
-* every stage is a pure DataFrame plan: one shuffle for blocking counts,
-  one for the pair join (AQE skew-split), one per clustering round;
+* every stage is a pure DataFrame plan: one vocabulary-level shuffle for
+  hot-key weights, one for the pair join (AQE skew-split), one per
+  distributed clustering round;
 * hot blocking keys (shared vocab words) are capped with logged accounting —
   recall is preserved because duplicate pages always share their
   discriminating rare-token blocks, while hot keys only produce pairs that
   either co-occur in rare blocks or score above threshold anyway;
-* title strings ride along the blocking rows (~tens of bytes) to avoid two
-  extra shuffle joins against a 10^12-row dimension at pair time.
+* the only persisted state is (id, title) — ~60 bytes/page — and the
+  capped key explode; blocking keys are 64-bit hashes, pair rows are bare
+  long ids with an int length, and title payloads re-attach post-dedup
+  from the slim dimension.
 """
 
 from __future__ import annotations
@@ -28,10 +31,9 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
-from ..functions.delete_expr import delete_keys_array
+from ..functions.delete_expr import delete_keys_array, delete_keys_of_prefix
 from ..functions.text_expr import title_expr, title_tokens_array
 from ..functions.udfs import parse_words_udf
-from ..operators.blocking import cap_hot_blocks
 from ..operators.clustering import connected_components
 from ..operators.pairs import candidate_pairs
 from ..operators.scoring import score_pairs
@@ -43,6 +45,29 @@ from .webpages import extract_text_from_html
 def extract_text_udf(html: pd.Series) -> pd.Series:
     """Arrow-batched application of the fixed extraction rule."""
     return html.map(lambda h: extract_text_from_html(h) if h is not None else None)
+
+
+def title_prefixes_array(title, config: "LinkageConfig"):
+    """Column: array<string> of distinct blocking-token prefixes."""
+    toks = title_tokens_array(title, config.min_token_len)
+    return F.array_distinct(F.transform(
+        toks, lambda t: F.substring(t, 1, config.prefix_length)))
+
+
+def title_block_keys(title, config: "LinkageConfig"):
+    """Column: array<string> of deduplicated blocking keys of a title
+    (tokenize → prefix-truncate → combinatorial delete masks)."""
+    toks = title_tokens_array(title, config.min_token_len)
+    if config.prefix_length > config.max_edit_distance:
+        prefixes = F.array_distinct(F.transform(
+            toks, lambda t: F.substring(t, 1, config.prefix_length)))
+        return F.array_distinct(F.flatten(F.transform(
+            prefixes,
+            lambda p: delete_keys_of_prefix(p, config.max_edit_distance,
+                                            config.prefix_length))))
+    return F.array_distinct(F.flatten(F.transform(
+        toks, lambda t: delete_keys_array(t, config.max_edit_distance,
+                                          config.prefix_length))))
 
 
 def pages_to_blocks(pages: DataFrame, config: "LinkageConfig") -> DataFrame:
@@ -62,14 +87,53 @@ def pages_to_blocks(pages: DataFrame, config: "LinkageConfig") -> DataFrame:
     matching the Python pass's per-page key set.
     """
     title = title_expr(F.col("html"))
-    toks = title_tokens_array(F.col("title"), config.min_token_len)
-    keys = F.array_distinct(F.flatten(F.transform(
-        toks, lambda t: delete_keys_array(t, config.max_edit_distance,
-                                          config.prefix_length))))
+    keys = title_block_keys(F.col("title"), config)
     return (pages
             .where(F.col("html").isNotNull())
             .select("url", title.alias("title"))
             .select("url", "title", F.explode(keys).alias("block_key")))
+
+
+def hot_keys_vocab(toks: DataFrame, config: "LinkageConfig") -> DataFrame:
+    """Hot blocking keys computed at the VOCABULARY level: page-weighted
+    key posting size = Σ over posting prefixes of that prefix's page count
+    — the same quantity cap_hot_blocks counts on the exploded page-level
+    table, at ~1/3 the rows (distinct prefixes × fan-out instead of pages
+    × fan-out) and, crucially, without materializing or re-scanning the
+    page-level explode at all.  Returns (block_key:long) hot-key rows.
+
+    ``toks``: (…, prefix) one row per distinct (page, prefix).
+    """
+    pc = toks.groupBy("prefix").agg(F.count(F.lit(1)).alias("n_pages"))
+    vkeys = pc.select(
+        "n_pages",
+        F.explode(delete_keys_of_prefix(
+            F.col("prefix"), config.max_edit_distance,
+            config.prefix_length)).alias("key_str"))
+    return (vkeys.groupBy(F.xxhash64("key_str").alias("block_key"))
+            .agg(F.sum("n_pages").alias("weight"))
+            .where(F.col("weight") > config.max_block_size)
+            .select("block_key", "weight"))
+
+
+def pages_to_prefixes(pages: DataFrame, config: "LinkageConfig") -> DataFrame:
+    """pages(url, html) → (url, title, prefix) — one row per distinct
+    blocking-token PREFIX of a page, pure Catalyst.
+
+    Feeds the two-level blocking (operators.pairs.candidate_pairs_prefix):
+    delete keys are generated from the VOCABULARY of these prefixes, not
+    per page.  keys(token) == keys(prefix(token)) always — the generator
+    prefix-truncates internally and its empty-key rule only fires at
+    lengths ≤ max_edit_distance where prefix == token — so pairing
+    prefixes is exactly pairing tokens (asserted in
+    tests/test_pipeline_linkage.py against the flat path).
+    """
+    title = title_expr(F.col("html"))
+    prefixes = title_prefixes_array(F.col("title"), config)
+    return (pages
+            .where(F.col("html").isNotNull())
+            .select("url", title.alias("title"))
+            .select("url", "title", F.explode(prefixes).alias("prefix")))
 
 
 _DELETE_MEMO: dict[str, list[str]] = {}
@@ -186,22 +250,47 @@ def run_linkage(spark: SparkSession, pages: DataFrame,
     # ~zero here and ~10^-2 expected count even at 10^12 urls (a collision
     # merges two pages — bounded F1 impact); swap for an id-table join if
     # exactness is required.
-    blocks = (pages_to_blocks(pages, config)
-              .select(F.xxhash64("url").alias("page_id"), "title",
-                      "block_key"))
-    capped, dropped = cap_hot_blocks(blocks, config.max_block_size)
+    # blocks carry (id:long, key_hash:long, len:int) only — keys are
+    # 64-bit-hashed (a hash collision merely adds one spurious candidate
+    # that scoring rejects; recall is unaffected) and the title payload
+    # never rides the ~80×-fan-out explode or the pair-join shuffles; it
+    # is re-attached post-dedup from the pages-derived dimension below.
+    # (candidate_pairs_prefix, the vocabulary-level two-level variant, is
+    # equivalence-tested and preferable when the token vocabulary is far
+    # smaller than the corpus; this synthetic workload's unique per-entity
+    # slugs make vocab ≈ corpus, where the flat explode measures faster.)
+    # ONE persisted slim dimension (id, title) — ~60 bytes/page — feeds
+    # every downstream pass: the html-regex extraction runs exactly once;
+    # the ~80×-fan-out key explode is NEVER materialized — each pair-join
+    # side re-derives it from the cached titles in whole-stage codegen
+    # (CPU work that scales with cores, unlike a memory/disk-bound persist
+    # of the exploded table), filtered inline by a broadcast anti-join
+    # against vocabulary-derived hot keys.
+    pdim = (pages.where(F.col("html").isNotNull())
+            .select(F.xxhash64("url").alias("id"),
+                    title_expr(F.col("html")).alias("title"))
+            .persist())
+    blocks = (pdim.select(
+        F.col("id").alias("page_id"), F.length("title").alias("tl"),
+        F.explode(title_block_keys(F.col("title"), config)).alias("k"))
+        .select("page_id", "tl", F.xxhash64("k").alias("block_key")))
+    toks = pdim.select(F.explode(
+        title_prefixes_array(F.col("title"), config)).alias("prefix"))
+    dropped = hot_keys_vocab(toks, config)
+    # persist only the CAPPED explode (hot keys carry most of the raw
+    # volume), materialized once for both pair-join sides
+    capped = (blocks.join(F.broadcast(dropped.select("block_key")),
+                          "block_key", "left_anti")
+              .persist())
     if writer:
         capped = writer.materialize("blocks", capped)
-        dropped_rows = dropped.count()
         writer._log({"stage": "blocks", "event": "hot_keys_dropped",
-                     "dropped_keys": dropped_rows})
+                     "dropped_keys": dropped.count()})
 
-    # id-unique payload dimension straight from the pages table (no
-    # dropDuplicates over the exploded key table; broadcastable under AQE)
-    dim = pages.select(F.xxhash64("url").alias("id"),
-                       title_expr(F.col("html")).alias("term"))
-    pairs = candidate_pairs(capped, id_col="page_id", term_col="title",
-                            max_len_diff=config.max_edit_distance, dim=dim)
+    dim = pdim.select("id", F.col("title").alias("term"))
+    pairs = candidate_pairs(capped, id_col="page_id",
+                            max_len_diff=config.max_edit_distance, dim=dim,
+                            len_col="tl")
     scored = score_pairs(pairs, max_distance=config.max_edit_distance)
     if writer:
         scored = writer.materialize("scored_pairs", scored)

@@ -109,3 +109,39 @@ def test_multibyte_entities_clustered(pages_and_labels):
     for row in truth:
         if row["url_a"] in ru_urls:
             assert comp[row["url_a"]] == comp[row["url_b"]]
+
+
+@pytest.mark.parametrize("cap", [10**9, 500, 20])
+def test_two_level_pairs_equal_flat(pages_and_labels, cap):
+    """candidate_pairs_prefix (vocabulary-level keying + expansion) must
+    produce EXACTLY the flat key-explosion candidate set — uncapped AND at
+    any hot-key cap (its page-weighted key cap mirrors cap_hot_blocks)."""
+    from pyspark.sql import functions as F
+
+    from spellchecker_wasm_spark.operators.blocking import cap_hot_blocks
+    from spellchecker_wasm_spark.operators.pairs import (
+        candidate_pairs, candidate_pairs_prefix)
+    from spellchecker_wasm_spark.pipeline.linkage import (
+        LinkageConfig, pages_to_blocks, pages_to_prefixes)
+    pages, _ = pages_and_labels
+    cfg = LinkageConfig()
+
+    blocks = (pages_to_blocks(pages, cfg)
+              .select(F.xxhash64("url").alias("page_id"),
+                      F.length("title").alias("tl"), "block_key"))
+    capped, _ = cap_hot_blocks(blocks, cap)
+    dim = pages.select(F.xxhash64("url").alias("id"),
+                       F.lit("x").alias("term"))
+    flat = {(r["id_a"], r["id_b"]) for r in
+            candidate_pairs(capped, id_col="page_id", dim=dim,
+                            len_col="tl",
+                            max_len_diff=cfg.max_edit_distance)
+            .select("id_a", "id_b").collect()}
+
+    toks = (pages_to_prefixes(pages, cfg)
+            .select(F.xxhash64("url").alias("page_id"),
+                    F.length("title").alias("tl"), "prefix"))
+    two, _, _ = candidate_pairs_prefix(
+        toks, max_len_diff=cfg.max_edit_distance, max_block_size=cap)
+    two_set = {(r["id_a"], r["id_b"]) for r in two.collect()}
+    assert two_set == flat
