@@ -24,10 +24,11 @@ import time
 from spellchecker_wasm_spark.session import get_spark
 
 HEADLINE = [
-    "term_clusters", "scored_pairs_osa", "lookup_closest",
+    "term_clusters", "scored_pairs_osa", "scored_pairs_similarity",
+    "lookup_closest", "lookup_top_unknown", "compound_known",
     "dedup_ngram_jaccard", "minhash_lsh_dups", "simhash", "embedding_knn",
-    "text_stats", "doc_fingerprint", "tpch_q1", "tpch_q3",
-    "event_sessions", "event_type_topk",
+    "dedup_embedding_lsh", "text_stats", "doc_fingerprint", "tpch_q1",
+    "tpch_q3", "event_sessions", "event_type_topk",
 ]
 
 # entities scale ~linearly with SF: sf0.1 → ~6k entities (~18k pages)
