@@ -743,6 +743,59 @@ def _o_dedup_lsh_sql() -> str:
         f" / (sqrt(x.nrm) * sqrt(y.nrm)) >= {_LSH_DEDUP_THRESHOLD}")
 
 
+def _q_ann_topk_lsh(spark, sf_dir):
+    """The ANN scale path end-to-end under the oracle: hyperplane-LSH
+    bucket join with Hamming-1 multi-probe, exact-cosine re-rank, top-k
+    (operators/similarity.lsh_bucketed_topk)."""
+    from .operators.similarity import lsh_bucketed_topk
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 50)
+    res = lsh_bucketed_topk(emb, queries, k=5, n_planes=_LSH_PLANES,
+                            seed=_LSH_SEED, probe_hamming=1)
+    return res.select("query_id", "neighbor_id",
+                      F.col("rank").cast("int").alias("rank"))
+
+
+def _o_ann_topk_sql() -> str:
+    from .operators.similarity import _hyperplane
+    terms = []
+    for p in range(_LSH_PLANES):
+        coeffs = [_hyperplane(_LSH_SEED, p, d) for d in range(_LSH_DIMS)]
+        arr = "[" + ",".join(str(c) for c in coeffs) + "]"
+        dot = (f"list_sum(list_transform(list_zip(v, {arr}::BIGINT[]), "
+               "q -> q[1] * q[2]))")
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END)")
+    bucket = "CAST(" + " + ".join(terms) + " AS BIGINT)"
+    probes = " UNION ALL ".join(
+        [f"SELECT vec_id AS qid, bucket FROM bk WHERE vec_id < 50"] +
+        [f"SELECT vec_id, xor(bucket, {1 << p}) FROM bk WHERE vec_id < 50"
+         for p in range(_LSH_PLANES)])
+    return f"""
+WITH e AS (SELECT vec_id, list_transform(embedding,
+                  x -> CAST(round(x * 1000) AS BIGINT)) AS v
+           FROM embeddings),
+n AS (SELECT vec_id, v, list_sum(list_transform(v, x -> x * x)) AS nrm
+      FROM e),
+bk AS (SELECT vec_id, {bucket} AS bucket FROM e),
+probes AS ({probes}),
+cand AS (SELECT DISTINCT p.qid, b.vec_id AS nid
+         FROM probes p JOIN bk b ON p.bucket = b.bucket
+         WHERE b.vec_id <> p.qid),
+scored AS (SELECT c.qid, c.nid,
+                  list_sum(list_transform(list_zip(q.v, x.v),
+                                          z -> z[1] * z[2]))
+                  / (sqrt(q.nrm) * sqrt(x.nrm)) AS cos
+           FROM cand c JOIN n q ON q.vec_id = c.qid
+           JOIN n x ON x.vec_id = c.nid)
+SELECT query_id, neighbor_id, rank FROM (
+    SELECT qid AS query_id, nid AS neighbor_id,
+           CAST(row_number() OVER (PARTITION BY qid
+               ORDER BY cos DESC, nid ASC) AS INTEGER) AS rank
+    FROM scored)
+WHERE rank <= 5
+"""
+
+
 _STOPWORDS = ("the", "a")
 
 
@@ -1134,6 +1187,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "dedup_embedding": (_q_dedup_embedding, _O_DEDUP_EMBEDDING),
     "dedup_embedding_lsh": (_q_dedup_embedding_lsh, _o_dedup_lsh_sql()),
     "ann_lsh_buckets": (_q_ann_lsh_buckets, _o_lsh_sql()),
+    "ann_topk_lsh": (_q_ann_topk_lsh, _o_ann_topk_sql()),
     "text_stats": (_q_text_stats, _O_TEXT_STATS),
     "doc_fingerprint": (_q_doc_fingerprint, _O_DOC_FINGERPRINT),
     "binary_features": (_q_binary_features, _O_BINARY_FEATURES),

@@ -52,3 +52,56 @@ def test_windowed_event_counts_static_vs_stream(spark, tmp_path):
     assert got
     for k, v in got.items():
         assert want[k] == v
+
+
+def test_stateful_sessionization_matches_batch(spark, tmp_path):
+    """applyInPandasWithState sessionizer: final per-user state across TWO
+    time-ordered micro-batches must equal the batch event_sessions
+    computation over the full table."""
+    from pyspark.sql import functions as F
+
+    from spellchecker_wasm_spark.streaming.sessions import sessionize_stream
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+
+    # batch truth (same logic as the event_sessions catalog oracle)
+    from pyspark.sql import Window
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    marked = events.withColumn(
+        "new_session", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+    want = {r["user_id"]: (r["n"], r["s"]) for r in
+            (marked.groupBy("user_id")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.sum("new_session").alias("s"))).collect()}
+
+    # two micro-batches split at the median ts (per-user times are then
+    # non-decreasing across batches — the operator's ordering contract)
+    median = (events.select(F.unix_timestamp("ts").cast("double")
+                            .alias("u"))
+              .approxQuantile("u", [0.5], 0.0)[0])
+    src = tmp_path / "sess_in"
+    src.mkdir()
+    (events.where(F.unix_timestamp("ts") <= median).coalesce(1)
+     .write.parquet(str(src / "b1")))
+    stream = (spark.readStream.schema(events.schema)
+              .option("maxFilesPerTrigger", "1").parquet(str(src / "*")))
+    out = sessionize_stream(stream.select("user_id", "ts", "event_id"))
+    q = (out.writeStream.format("memory").queryName("sess")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    (events.where(F.unix_timestamp("ts") > median).coalesce(1)
+     .write.parquet(str(src / "b2")))
+    q2 = (out.writeStream.format("memory").queryName("sess2")
+          .outputMode("update").trigger(availableNow=True)
+          .option("checkpointLocation", str(tmp_path / "ck")).start())
+    q2.awaitTermination(120)
+    # update-mode memory sink appends one row per user per micro-batch;
+    # the final state is the row with the (monotone) max event count
+    got = {}
+    for r in spark.table("sess2").collect():
+        prev = got.get(r["user_id"])
+        cur = (r["n_events"], r["n_sessions"])
+        if prev is None or cur[0] > prev[0]:
+            got[r["user_id"]] = cur
+    assert got == want
