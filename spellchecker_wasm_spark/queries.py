@@ -1049,6 +1049,57 @@ def _q_compound_correct(spark, sf_dir):
                       "count")
 
 
+_FRAME_CHARS = 256
+
+
+def _q_media_frames(spark, sf_dir):
+    """Multimodal frame-sampling plumbing under the oracle: documents
+    treated as opaque media payloads, windowed into fixed-size 'frames'
+    inside an Arrow-batched mapInPandas (the real distributed shape —
+    schema, batching, per-frame explode; decode itself stays the
+    deterministic stub per operators/multimodal.py), with integer
+    checksums both engines can compute."""
+    from pyspark.sql import types as T
+
+    docs = (load(spark, sf_dir, "documents")
+            .where(F.col("text").isNotNull())
+            .select("doc_id", "text"))
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_index", T.IntegerType()),
+        T.StructField("n_chars", T.IntegerType()),
+        T.StructField("checksum", T.LongType()),
+    ])
+
+    def fn(batches):
+        import pandas as pd
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                for i in range(0, len(text), _FRAME_CHARS):
+                    w = text[i:i + _FRAME_CHARS]
+                    rows.append((int(did), i // _FRAME_CHARS, len(w),
+                                 sum(ord(c) for c in w)))
+            yield pd.DataFrame(rows, columns=[f.name for f in schema])
+
+    return docs.mapInPandas(fn, schema)
+
+
+_O_MEDIA_FRAMES = f"""
+WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+pos AS (SELECT unnest(range(0, (SELECT coalesce(max(length(text)), 1)
+                                FROM d) // {_FRAME_CHARS} + 1)) AS i),
+w AS (SELECT doc_id, CAST(i AS INTEGER) AS frame_index,
+             substr(text, i * {_FRAME_CHARS} + 1, {_FRAME_CHARS}) AS win
+      FROM d, pos WHERE i * {_FRAME_CHARS} < length(text))
+SELECT doc_id, frame_index, CAST(length(win) AS INTEGER) AS n_chars,
+       CAST(list_sum(list_transform(
+           list_filter(string_split(win, ''), c -> c <> ''),
+           c -> CAST(unicode(c) AS BIGINT))) AS BIGINT) AS checksum
+FROM w
+"""
+
+
 # ---------------------------------------------------------------------------
 # relational breadth (TPC-H-style + events windows)
 # ---------------------------------------------------------------------------
@@ -1191,6 +1242,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "text_stats": (_q_text_stats, _O_TEXT_STATS),
     "doc_fingerprint": (_q_doc_fingerprint, _O_DOC_FINGERPRINT),
     "binary_features": (_q_binary_features, _O_BINARY_FEATURES),
+    "media_frames": (_q_media_frames, _O_MEDIA_FRAMES),
     "tpch_q1": (_q_tpch_q1, _O_TPCH_Q1),
     "tpch_q3": (_q_tpch_q3, _O_TPCH_Q3),
     "event_sessions": (_q_event_sessions, _O_EVENT_SESSIONS),

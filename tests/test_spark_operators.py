@@ -195,3 +195,26 @@ def test_lsh_dedup_recall_vs_brute_force(spark):
     assert len(exact) >= 100       # fixture is non-vacuous
     recall = len(lsh & exact) / len(exact)
     assert recall >= 0.95, recall  # measured 0.996 (theory: 1-(1-p^8)^2)
+
+
+def test_salted_join_equals_plain_join(spark):
+    """salted_join must produce exactly the plain join's rows while
+    spreading a hot key over n_salts sub-keys."""
+    from pyspark.sql import functions as F
+
+    from spellchecker_wasm_spark.operators.skew import salted_join
+
+    # 10k rows of one hot key + a uniform tail
+    big = spark.range(11000).select(
+        F.when(F.col("id") < 10000, F.lit("hot"))
+        .otherwise(F.concat(F.lit("k"), F.col("id") % 7)).alias("key"),
+        F.col("id").alias("payload"))
+    dim = spark.createDataFrame(
+        [("hot", 1)] + [(f"k{i}", 10 + i) for i in range(7)],
+        "key string, attr int")
+    plain = {(r["key"], r["payload"], r["attr"])
+             for r in big.join(dim, "key").collect()}
+    salted = salted_join(big, dim, "key", n_salts=8)
+    got = {(r["key"], r["payload"], r["attr"]) for r in salted.collect()}
+    assert got == plain
+    assert len(got) == 11000
