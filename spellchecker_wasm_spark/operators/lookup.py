@@ -86,6 +86,14 @@ def distributed_lookup(queries: DataFrame, words: DataFrame,
         ["query", "term"])
 
     osa = osa_distance_udf(max_edit_distance)
+    # lossless JVM prefilter before the Python DP (OSA ≤ lev ≤ 2·OSA);
+    # 1-char suggestions bypass it — their distance is the quirk value,
+    # not the DP result (threshold levenshtein returns -1 above the bound)
+    band = 2 * max_edit_distance
+    pairs = pairs.where(
+        (F.length("term") == 1)
+        | F.levenshtein(F.col("query"), F.col("term"), band)
+        .between(0, band))
     scored = (pairs.withColumn(
         "distance",
         F.when(F.length("term") == 1, F.col("q_len"))
