@@ -1,17 +1,28 @@
 from .blocking import build_blocks, cap_hot_blocks
-from .pairs import candidate_pairs
-from .scoring import score_pairs
+from .pairs import candidate_pairs, candidate_pairs_prefix
+from .scoring import osa_similarity, score_pairs, score_pairs_arrow
 from .clustering import connected_components
+from .compound import compound_correct
 from .dictionary import aggregate_word_counts, parse_dictionary_lines
 from .lookup import distributed_lookup
+from .similarity import brute_force_topk, lsh_bucketed_topk, lsh_buckets
+from .skew import salted_join
 
 __all__ = [
     "build_blocks",
     "cap_hot_blocks",
     "candidate_pairs",
+    "candidate_pairs_prefix",
     "score_pairs",
+    "score_pairs_arrow",
+    "osa_similarity",
     "connected_components",
+    "compound_correct",
     "aggregate_word_counts",
     "parse_dictionary_lines",
     "distributed_lookup",
+    "brute_force_topk",
+    "lsh_bucketed_topk",
+    "lsh_buckets",
+    "salted_join",
 ]
