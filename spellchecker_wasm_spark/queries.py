@@ -117,6 +117,37 @@ SELECT bigram, count(*) AS cnt FROM bg GROUP BY bigram
 """
 
 
+def _q_parse_words(spark, sf_dir):
+    """Reference-quirk tokenizer under the oracle (sym_spell.rs:191-214):
+    every token after the first carries exactly ONE leading separator char
+    (the cursor parks on the separator), digits separate, and the final
+    token is emitted only when the text ends alphanumeric.  The regex
+    ``[^<alnum>]?<alnum>+`` reproduces all three quirks: left-to-right
+    scanning with backtracking attaches the IMMEDIATELY-preceding
+    separator to each run and leaves earlier separators unmatched."""
+    from .functions.udfs import parse_words_udf
+    docs = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    return (docs.select(
+        "doc_id",
+        F.posexplode(parse_words_udf(F.col("text")))
+        .alias("pos", "token"))
+        .select("doc_id", F.col("pos").cast("int").alias("pos"), "token"))
+
+
+def _o_parse_words_sql() -> str:
+    from .functions.text_expr import alnum_class
+    cls = alnum_class()
+    pat = "[^" + cls[1:-1] + "]?" + cls + "+"
+    return f"""
+WITH t AS (SELECT doc_id, regexp_extract_all(text, '{pat}') AS toks
+           FROM documents WHERE text IS NOT NULL),
+pos AS (SELECT unnest(range(1, (SELECT coalesce(max(len(toks)), 1) + 1
+                                FROM t))) AS i)
+SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, toks[i] AS token
+FROM t, pos WHERE pos.i <= len(toks)
+"""
+
+
 def _q_blocking_keys(spark, sf_dir):
     return build_blocks(_distinct_terms(spark, sf_dir)).select(
         "term", "block_key")
@@ -1213,6 +1244,7 @@ WHERE rnk <= 3
 CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "word_counts": (_q_word_counts, _O_WORD_COUNTS),
     "bigram_counts": (_q_bigram_counts, _O_BIGRAM_COUNTS),
+    "parse_words_tokens": (_q_parse_words, _o_parse_words_sql()),
     "blocking_keys": (_q_blocking_keys, _O_BLOCKING_KEYS),
     "candidate_pairs": (_q_candidate_pairs, _O_CAND_PAIRS),
     "scored_pairs_osa": (_q_scored_pairs_osa, _O_SCORED_OSA),

@@ -85,3 +85,30 @@ def test_title_tokens_match_on_synthesized_titles(spark):
     assert len(rows) > 0
     for r in rows:
         assert set(r["toks"]) == _python_tokens(r["title"])
+
+
+def test_parse_words_regex_oracle_on_quirk_strings():
+    """The RE2 pattern used by the parse_words_tokens oracle must equal the
+    kernel tokenizer on the quirk cases (leading-separator carry, digit
+    separators, multi-byte, trailing separator)."""
+    import duckdb
+
+    from spellchecker_wasm_spark.functions.text_expr import alnum_class
+
+    cls = alnum_class()
+    pat = "[^" + cls[1:-1] + "]?" + cls + "+"
+    con = duckdb.connect()
+    cases = [
+        "this is a - test, (does it work)?",
+        "a1b2  double  seps",
+        "привет, мир!",
+        "ends.",
+        ".starts",
+        "mixъed 𝄞notes𝄞 here",
+        "",
+        "   ",
+    ]
+    for text in cases:
+        got = con.execute(
+            "SELECT regexp_extract_all(?, ?)", [text, pat]).fetchone()[0]
+        assert got == parse_words(text), (text, got, parse_words(text))
