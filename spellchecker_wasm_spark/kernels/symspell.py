@@ -422,3 +422,88 @@ class SymSpellKernel:
         joined = " ".join(s_parts)
         d = osa_distance_max(input_text, joined, _USIZE_MAX)
         return [SuggestItem(joined, 0 if d is None else d, int(count))]
+
+    # ------------------------------------------------------------------
+    # word_segmentation (sym_spell.rs:692-775)
+    #
+    # The reference's implementation is dead code that cannot run: it is
+    # not WASM-exported, it indexes into a Vec created with capacity but
+    # ZERO length (sym_spell.rs:693,745 — instant panic), slices parts as
+    # input[j..i] instead of input[j..j+i] (:701), tests the whitespace of
+    # input[0] instead of the part's first char (:707), and drops the
+    # `+ top_probability_log` term from the replacement comparison (:755,
+    # vs the upstream C# SymSpell.WordSegmentation it transliterates).
+    # This method implements the semantics the port INTENDED — the
+    # documented SymSpell v6.5 algorithm (triangular-matrix DP over a
+    # circular composition buffer, Naive-Bayes log-probabilities, the
+    # unknown-word estimate) — with those four defects repaired.
+    # ------------------------------------------------------------------
+    def word_segmentation(self, input_text: str, max_edit_distance: int = 0,
+                          max_segmentation_word_length: int | None = None
+                          ) -> tuple[str, str, int, float]:
+        """input without (reliable) spaces → (segmented, corrected,
+        distance_sum, probability_log_sum)."""
+        import math
+
+        if max_segmentation_word_length is None:
+            max_segmentation_word_length = self.max_dictionary_word_length
+        n = len(input_text)
+        if n == 0:
+            return ("", "", 0, 0.0)
+        capacity = min(max_segmentation_word_length, n)
+        compositions: list[tuple[str, str, int, float]] = [
+            ("", "", 0, 0.0)] * capacity
+        circular_index = -1
+
+        for j in range(n):
+            i_max = min(max_segmentation_word_length, n - j)
+            for i in range(1, i_max + 1):
+                part = input_text[j:j + i]
+                separator_len = 0
+                top_ed = 0
+                if part[0].isspace():
+                    # space already in input: not an inserted separator
+                    part = input_text[j + 1:j + i]
+                else:
+                    separator_len = 1
+                # inner spaces removed from the part count as edits
+                top_ed += len(part)
+                part = part.replace(" ", "")
+                top_ed -= len(part)
+
+                results = self.lookup(part, Verbosity.TOP,
+                                      max_edit_distance, False, True)
+                if results:
+                    top_result = results[0].term
+                    top_ed += results[0].distance
+                    top_prob = math.log10(results[0].count / N)
+                else:
+                    # unknown-word estimate (sym_spell.rs:736-738; the
+                    # port also dropped the upstream `topEd += part.Length`
+                    # — without it a long unknown part scores distance 0
+                    # and every input degenerates to one unsegmented blob)
+                    top_result = part
+                    top_ed += len(part)
+                    top_prob = math.log10(
+                        10.0 / (N * math.pow(10.0, len(part))))
+
+                dest = (i + circular_index) % capacity
+                if j == 0:
+                    compositions[dest] = (part, top_result, top_ed, top_prob)
+                if circular_index == -1:
+                    continue
+                c_seg, c_cor, c_dist, c_prob = compositions[circular_index]
+                _, _, d_dist, d_prob = compositions[dest]
+                if (i == max_segmentation_word_length
+                        or ((c_dist + top_ed == d_dist
+                             or c_dist + separator_len + top_ed == d_dist)
+                            and d_prob < c_prob + top_prob)
+                        or c_dist + separator_len + top_ed < d_dist):
+                    compositions[dest] = (
+                        c_seg + " " + part, c_cor + " " + top_result,
+                        c_dist + separator_len + top_ed, c_prob + top_prob)
+            circular_index += 1
+            if circular_index == capacity:
+                circular_index = 0
+
+        return compositions[circular_index]

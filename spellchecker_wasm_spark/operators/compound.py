@@ -94,3 +94,50 @@ def compound_correct(docs: DataFrame, text_col: str, words_df: DataFrame,
             yield out
 
     return docs.select(cols).mapInPandas(fn, schema)
+
+
+def segment_texts(docs: DataFrame, text_col: str, words_df: DataFrame,
+                  max_edit_distance: int = 0, prefix_length: int = 7,
+                  id_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Distributed word_segmentation (the intended semantics of the
+    reference's dead-code sym_spell.rs:692-775 — see the kernel docstring
+    for the five transliteration defects repaired): docs(…, text) →
+    (…, segmented, corrected, distance).  Same broadcast-dictionary /
+    per-executor-index design as compound_correct."""
+    spark = docs.sparkSession
+    words = {r["term"]: r["count"] for r in words_df.collect()}
+    bc = spark.sparkContext.broadcast(
+        (words, max_edit_distance, prefix_length))
+    import uuid
+    cache_token = uuid.uuid4().hex
+
+    out_fields = [docs.schema[c] for c in id_cols]
+    out_fields += [T.StructField("segmented", T.StringType()),
+                   T.StructField("corrected", T.StringType()),
+                   T.StructField("distance", T.LongType())]
+    schema = T.StructType(out_fields)
+    cols = list(dict.fromkeys(list(id_cols) + [text_col]))
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        kernel = _KERNEL_CACHE.get(cache_token)
+        if kernel is None:
+            w, med, plen = bc.value
+            kernel = kernel_from_counts(w, None, max(med, 2), plen)
+            _KERNEL_CACHE.clear()
+            _KERNEL_CACHE[cache_token] = kernel
+        for pdf in batches:
+            segs, cors, dists = [], [], []
+            for t in pdf[text_col]:
+                if t is None:
+                    segs.append(None); cors.append(None); dists.append(None)
+                    continue
+                s, c, d, _ = kernel.word_segmentation(t, bc.value[1])
+                segs.append(s); cors.append(c); dists.append(d)
+            out = pdf[list(id_cols)].copy() if id_cols else pd.DataFrame(
+                index=pdf.index)
+            out["segmented"] = segs
+            out["corrected"] = cors
+            out["distance"] = dists
+            yield out
+
+    return docs.select(cols).mapInPandas(fn, schema)

@@ -1062,6 +1062,69 @@ WHERE d.n = 1 AND d.text NOT IN (SELECT text FROM skips)
 """
 
 
+def _q_word_segmentation(spark, sf_dir):
+    """word_segmentation (the INTENDED semantics of the reference's
+    dead-code sym_spell.rs:692-775; five transliteration defects repaired —
+    kernel docstring) under the oracle at max_edit_distance=0: probes are
+    s1||s2 concatenations of dictionary terms with a UNIQUE decomposition,
+    where the winner is forced by the integer distance lattice alone (the
+    two-exact-part segmentation costs exactly 1 inserted space; every
+    alternative contains an unknown part costing its own length), so no
+    floating-point probability comparison decides and the expected row is
+    SQL-exact."""
+    from .operators.compound import segment_texts
+    words = _compound_words(spark, sf_dir)
+    w = (words.where(F.col("term").rlike("^[a-z]+$"))
+         .orderBy(F.desc("count"), F.asc("term")).limit(_SPLIT_PARTS_K)
+         .select("term"))
+    cand = (w.select(F.col("term").alias("s1"))
+            .crossJoin(w.select(F.col("term").alias("s2")))
+            .select(F.concat("s1", "s2").alias("text"))
+            .join(words.select(F.col("term").alias("text")), "text",
+                  "left_anti")
+            .distinct())
+    js = cand.select(
+        "text", F.explode(F.sequence(F.lit(1),
+                                     F.length("text") - 1)).alias("j"))
+    wset = F.broadcast(words.select("term"))
+    decomp = (js.select("text", "j",
+                        F.expr("substring(text, 1, j)").alias("p1"),
+                        F.expr("substring(text, j + 1, length(text))")
+                        .alias("p2"))
+              .join(wset.withColumnRenamed("term", "p1"), "p1", "left_semi")
+              .join(wset.withColumnRenamed("term", "p2"), "p2", "left_semi"))
+    uniq = (decomp.groupBy("text").agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") == 1).select("text"))
+    good = cand.join(uniq, "text", "left_semi")
+    out = segment_texts(good, "text", words, max_edit_distance=0,
+                        id_cols=("text",))
+    return out.select(F.col("text").alias("query"), "segmented",
+                      "corrected",
+                      F.col("distance").cast("int").alias("distance"))
+
+
+_O_WORD_SEGMENTATION = f"""
+WITH toks AS ({_SQL_TOKS_NE}),
+words AS (SELECT term, count(*) AS count FROM toks
+          WHERE length(term) >= 2 GROUP BY term),
+w AS (SELECT term FROM words WHERE regexp_matches(term, '^[a-z]+$')
+      ORDER BY count DESC, term ASC LIMIT {_SPLIT_PARTS_K}),
+cand AS (SELECT DISTINCT a.term || b.term AS text
+         FROM w a CROSS JOIN w b
+         WHERE a.term || b.term NOT IN (SELECT term FROM words)),
+js AS (SELECT text, unnest(range(1, length(text))) AS j FROM cand),
+decomp AS (SELECT text, min(j) AS j, count(*) AS n FROM js
+           WHERE substr(text, 1, j) IN (SELECT term FROM words)
+             AND substr(text, j + 1) IN (SELECT term FROM words)
+           GROUP BY text)
+SELECT text AS query,
+       substr(text, 1, j) || ' ' || substr(text, j + 1) AS segmented,
+       substr(text, 1, j) || ' ' || substr(text, j + 1) AS corrected,
+       1 AS distance
+FROM decomp WHERE n = 1
+"""
+
+
 def _q_compound_correct(spark, sf_dir):
     """The unconstrained lookup_compound API over real document text —
     rows-only driver check (no SQL oracle can express the combi path;
@@ -1260,6 +1323,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "compound_known": (_q_compound_known, _O_COMPOUND_KNOWN),
     "compound_split": (_q_compound_split, _O_COMPOUND_SPLIT),
     "compound_correct": (_q_compound_correct, None),
+    "word_segmentation": (_q_word_segmentation, _O_WORD_SEGMENTATION),
     "dictionary_export": (_q_dictionary_export, _O_DICTIONARY_EXPORT),
     "dedup_exact": (_q_dedup_exact, _O_DEDUP_EXACT),
     "dedup_ngram_jaccard": (_q_dedup_ngram_jaccard, _O_NGRAM_JACCARD),

@@ -151,3 +151,23 @@ def test_count_threshold_promotion():
     assert "hello" not in k.words
     k.create_dictionary_entry("hello", 1)
     assert k.words["hello"] == 3
+
+
+def test_word_segmentation_classic_goldens(en_gb_kernel):
+    """The intended word_segmentation semantics (the reference's own is
+    unreachable dead code — sym_spell.rs:692-775) on SymSpell's canonical
+    examples over the en dictionary."""
+    k = en_gb_kernel
+    s, c, d, _ = k.word_segmentation(
+        "thequickbrownfoxjumpsoverthelazydog", 0)
+    assert s == c == "the quick brown fox jumps over the lazy dog"
+    assert d == 8  # 8 inserted spaces
+    s, c, d, _ = k.word_segmentation(
+        "itwasabrightcolddayinaprilandtheclockswerestrikingthirteen", 0)
+    assert s == c == ("it was a bright cold day in april and the clocks "
+                      "were striking thirteen")
+    # med=2: a misplaced space is repaired through fuzzy part lookup
+    s, c, d, _ = k.word_segmentation(
+        "thequickbrownfoxjumpsoverthelaz ydog", 2)
+    assert c == "the quick brown fox jumps over the lazy dog"
+    assert k.word_segmentation("", 0) == ("", "", 0, 0.0)
