@@ -2,7 +2,7 @@ from .blocking import build_blocks, cap_hot_blocks
 from .pairs import candidate_pairs, candidate_pairs_prefix
 from .scoring import osa_similarity, score_pairs, score_pairs_arrow
 from .clustering import connected_components
-from .compound import compound_correct
+from .compound import compound_correct, segment_texts
 from .dictionary import aggregate_word_counts, parse_dictionary_lines
 from .lookup import distributed_lookup
 from .similarity import brute_force_topk, lsh_bucketed_topk, lsh_buckets
@@ -18,6 +18,7 @@ __all__ = [
     "osa_similarity",
     "connected_components",
     "compound_correct",
+    "segment_texts",
     "aggregate_word_counts",
     "parse_dictionary_lines",
     "distributed_lookup",

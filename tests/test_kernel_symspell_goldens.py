@@ -171,3 +171,17 @@ def test_word_segmentation_classic_goldens(en_gb_kernel):
         "thequickbrownfoxjumpsoverthelaz ydog", 2)
     assert c == "the quick brown fox jumps over the lazy dog"
     assert k.word_segmentation("", 0) == ("", "", 0, 0.0)
+
+
+def test_word_segmentation_roundtrip_property(en_gb_kernel):
+    """Invariant at med=0: the segmented string is the input plus inserted
+    spaces (distance == number of insertions), and corrections are
+    identity."""
+    import itertools
+    words = ["the", "quick", "brown", "fox", "house", "boat", "a", "in"]
+    for ws in itertools.islice(itertools.permutations(words, 3), 0, 30, 3):
+        joined = "".join(ws)
+        s, c, d, _ = en_gb_kernel.word_segmentation(joined, 0)
+        assert s.replace(" ", "") == joined
+        assert d == s.count(" ")
+        assert c == s
