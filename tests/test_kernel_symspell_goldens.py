@@ -185,3 +185,17 @@ def test_word_segmentation_roundtrip_property(en_gb_kernel):
         assert s.replace(" ", "") == joined
         assert d == s.count(" ")
         assert c == s
+
+
+def test_word_segmentation_russian_multibyte():
+    """Segmentation over the multi-byte UTF-8 dictionary: codepoint
+    windows, not bytes."""
+    k = SymSpellKernel(2, 7, 1)
+    with open(os.path.join(REFERENCE_TESTS, "small_dictionary_ru.txt"),
+              "rb") as f:
+        ingest_wasm_stream(k, f.read())
+    s, c, d, _ = k.word_segmentation("человекговорить", 0)
+    assert s == c == "человек говорить"
+    assert d == 1
+    s, c, d, _ = k.word_segmentation("свойвремя", 0)
+    assert s == c == "свой время"
