@@ -1,6 +1,8 @@
 from .blocking import build_blocks, cap_hot_blocks
 from .pairs import candidate_pairs, candidate_pairs_prefix
-from .scoring import osa_similarity, score_pairs, score_pairs_arrow
+from .scoring import (distance_from_similarity, osa_similarity,
+                      osa_similarity2, score_pairs, score_pairs_arrow,
+                      similarity_from_distance)
 from .clustering import connected_components
 from .compound import compound_correct, segment_texts
 from .dictionary import aggregate_word_counts, parse_dictionary_lines
@@ -16,6 +18,9 @@ __all__ = [
     "score_pairs",
     "score_pairs_arrow",
     "osa_similarity",
+    "osa_similarity2",
+    "similarity_from_distance",
+    "distance_from_similarity",
     "connected_components",
     "compound_correct",
     "segment_texts",

@@ -30,6 +30,49 @@ def osa_similarity(left, right, distance):
                   F.lit(0.0)).otherwise(sim)
 
 
+def osa_similarity2(left, right, distance, min_similarity: float):
+    """DamaerauOSA::similarity2 (soft_wx/damerau_osa.rs:222-259) with its
+    *documented* contract: the similarity when ≥ min_similarity, else -1.0
+    ("-1 represents a similarity lower than minSimilarity", rs:219-221).
+
+    The reference's actual code path is cascade-broken by the converter
+    precedence bug (helpers.rs:76, ``(1.0 - s) as usize`` = 0 for any
+    s ∈ (0, 1)): ``max_distance`` comes out 0, so similarity2 degenerates
+    to "1.0 for byte-equal strings, None otherwise" for every
+    min_similarity except exactly 0.0 — and panics (debug) / wraps
+    (release) on ``str2_len - str1_len`` when string1 is longer, because
+    the shorter-first swap its own comment promises was never written
+    (rs:230-233).  Nothing in SymSpell calls it, so this op implements the
+    intended thresholding; the faithful degenerate form is just
+    ``when(left == right, 1.0).otherwise(-1.0)``.
+    """
+    sim = osa_similarity(left, right, distance)
+    return F.when(sim >= F.lit(min_similarity), sim).otherwise(F.lit(-1.0))
+
+
+def similarity_from_distance(distance, length):
+    """helpers.rs:67-69: ``1 - distance/length``, None (→ NULL column) for
+    negative distance — the banded DP's above-threshold sentinel."""
+    d = distance.cast("double")
+    return F.when(d >= 0, F.lit(1.0) - d / length.cast("double"))
+
+
+def distance_from_similarity(similarity, length,
+                             reproduce_truncation_quirk: bool = False):
+    """helpers.rs:75-77: ``length * (1 - similarity) as usize``.
+
+    The reference casts ``(1.0 - similarity) as usize`` BEFORE multiplying
+    (precedence bug, helpers.rs:76) so any similarity in (0, 1] yields
+    distance 0 — the path is unreachable from SymSpell, so the default
+    here computes the intended ``trunc(length * (1 - similarity))``;
+    pass reproduce_truncation_quirk=True for the faithful broken form.
+    """
+    if reproduce_truncation_quirk:
+        return length.cast("long") * F.floor(F.lit(1.0) - similarity)
+    return F.floor(length.cast("double")
+                   * (F.lit(1.0) - similarity)).cast("long")
+
+
 def score_pairs_arrow(pairs: DataFrame, left_col: str = "term_a",
                       right_col: str = "term_b", max_distance: int = 2,
                       keep_above_threshold: bool = False) -> DataFrame:

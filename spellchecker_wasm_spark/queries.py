@@ -330,6 +330,43 @@ _O_SCORED_SIMILARITY = (
     " WHERE damerau_levenshtein(term_a, term_b) <= 2")
 
 
+def _q_scored_pairs_similarity2(spark, sf_dir):
+    """DamaerauOSA::similarity2's documented thresholded contract
+    (damerau_osa.rs:222-259; -1 sentinel below min_similarity) plus the
+    round-tripped converters (helpers.rs:67-77): similarity_from_distance
+    recomputes the similarity from the distance column, and
+    distance_from_similarity (intended form) recovers the distance."""
+    from .operators.scoring import (distance_from_similarity,
+                                    osa_similarity2,
+                                    similarity_from_distance)
+    blocks = build_blocks(_distinct_terms(spark, sf_dir))
+    scored = score_pairs(candidate_pairs(blocks), max_distance=2)
+    ln = F.greatest(F.length("term_a"), F.length("term_b"))
+    sim = osa_similarity2(F.col("term_a"), F.col("term_b"),
+                          F.col("distance"), 0.75)
+    return scored.select(
+        "term_a", "term_b",
+        sim.alias("similarity2"),
+        similarity_from_distance(F.col("distance"), ln).alias("sim_conv"),
+        distance_from_similarity(
+            similarity_from_distance(F.col("distance"), ln), ln)
+        .alias("dist_roundtrip"))
+
+
+_O_SCORED_SIMILARITY2 = (
+    _SQL_CAND_PAIRS +
+    ", sc AS (SELECT term_a, term_b,"
+    " CAST(damerau_levenshtein(term_a, term_b) AS DOUBLE) AS d,"
+    " CAST(greatest(length(term_a), length(term_b)) AS DOUBLE) AS ln"
+    " FROM cand WHERE damerau_levenshtein(term_a, term_b) <= 2)"
+    " SELECT term_a, term_b,"
+    " CASE WHEN 1.0 - d / ln >= 0.75 THEN 1.0 - d / ln ELSE -1.0 END"
+    "   AS similarity2,"
+    " 1.0 - d / ln AS sim_conv,"
+    " CAST(floor(ln * (1.0 - (1.0 - d / ln))) AS BIGINT) AS dist_roundtrip"
+    " FROM sc")
+
+
 def _q_lookup_closest_self(spark, sf_dir):
     """include_self branch under the oracle (sym_spell.rs:311-319): probes
     NOT anti-joined against the dictionary, so in-dictionary queries take
@@ -1314,6 +1351,8 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "scored_pairs_lev": (_q_scored_pairs_lev, _O_SCORED_LEV),
     "scored_pairs_similarity": (_q_scored_pairs_similarity,
                                 _O_SCORED_SIMILARITY),
+    "scored_pairs_similarity2": (_q_scored_pairs_similarity2,
+                                 _O_SCORED_SIMILARITY2),
     "term_clusters": (_q_term_clusters, _O_TERM_CLUSTERS),
     "lookup_closest": (_q_lookup_closest, _O_LOOKUP_CLOSEST),
     "lookup_top": (_q_lookup_top, _O_LOOKUP_TOP),

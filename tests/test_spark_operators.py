@@ -218,3 +218,71 @@ def test_salted_join_equals_plain_join(spark):
     got = {(r["key"], r["payload"], r["attr"]) for r in salted.collect()}
     assert got == plain
     assert len(got) == 11000
+
+
+def test_similarity_converters(spark):
+    """similarity2's documented thresholded contract plus the
+    helpers.rs:67-77 converter pair: sim_conv round-trips back to the
+    original distance via the *intended* converter, and the faithful
+    quirk form collapses every similarity in (0, 1] to distance 0."""
+    from pyspark.sql import functions as F
+
+    from spellchecker_wasm_spark.operators.scoring import (
+        distance_from_similarity, osa_similarity2, similarity_from_distance)
+
+    rows = [("hello", "hello", 0), ("hello", "hell", 1),
+            ("hello", "help", 2), ("abcdefgh", "abcdxfgh", 1),
+            ("", "abc", 0)]
+    df = spark.createDataFrame(rows, "a string, b string, distance int")
+    ln = F.greatest(F.length("a"), F.length("b"))
+    sim = similarity_from_distance(F.col("distance"), ln)
+    out = df.select(
+        "a", "b", "distance",
+        osa_similarity2(F.col("a"), F.col("b"), F.col("distance"), 0.75)
+        .alias("sim2"),
+        sim.alias("sim_conv"),
+        distance_from_similarity(sim, ln).alias("roundtrip"),
+        distance_from_similarity(sim, ln, reproduce_truncation_quirk=True)
+        .alias("quirk")).collect()
+    by_pair = {(r["a"], r["b"]): r for r in out}
+
+    assert by_pair[("hello", "hello")]["sim2"] == 1.0
+    assert by_pair[("hello", "hell")]["sim2"] == 0.8
+    # 1 - 2/5 = 0.6 < 0.75 -> sentinel
+    assert by_pair[("hello", "help")]["sim2"] == -1.0
+    # empty-side quirk: similarity 0.0 regardless of distance
+    assert by_pair[("", "abc")]["sim2"] == -1.0
+
+    import math
+    for r in out:
+        # the intended converter is trunc(length * (1 - sim)) — NOT an
+        # exact inverse under IEEE: 5 * (1 - (1 - 1/5)) = 0.9999...98
+        # truncates to 0 (the reference's `as usize` shares the hazard),
+        # so assert bit-equality with the same IEEE expression instead
+        ln = max(len(r["a"]), len(r["b"]))
+        expected = math.floor(ln * (1.0 - r["sim_conv"]))
+        assert r["roundtrip"] == expected, r
+        assert abs(r["roundtrip"] - r["distance"]) <= 1, r
+        # faithful precedence-bug form: (1 - s) truncates to 0 for any
+        # similarity in (0, 1], so distance collapses to 0 except when
+        # similarity == 0.0 (where it's the full length)
+        if r["sim_conv"] == 0.0:
+            assert r["quirk"] == max(len(r["a"]), len(r["b"]))
+        else:
+            assert r["quirk"] == 0, r
+
+
+def test_similarity_negative_distance_is_null(spark):
+    """helpers.rs:68: negative distance (banded DP above-threshold
+    sentinel) maps to None/NULL similarity."""
+    from pyspark.sql import functions as F
+
+    from spellchecker_wasm_spark.operators.scoring import (
+        similarity_from_distance)
+
+    df = spark.createDataFrame([("x", "yyyy", -1)],
+                               "a string, b string, distance int")
+    row = df.select(similarity_from_distance(
+        F.col("distance"), F.greatest(F.length("a"), F.length("b")))
+        .alias("sim")).collect()[0]
+    assert row["sim"] is None
