@@ -75,6 +75,7 @@ def run_pipeline_bench(spark, sf_name: str) -> dict:
     hot = hot_keys_vocab(toks, cfg)
     capped = (blocks.join(F.broadcast(hot.select("block_key")),
                           "block_key", "left_anti")
+              .repartition(F.col("block_key"))
               .persist())
     dim = pdim.select("id", F.col("title").alias("term"))
     pairs = candidate_pairs(capped, id_col="page_id",

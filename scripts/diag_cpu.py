@@ -106,6 +106,7 @@ def main():
     hot = hot_keys_vocab(toks, cfg)
     capped = (blocks.join(F.broadcast(hot.select("block_key")),
                           "block_key", "left_anti")
+              .repartition(F.col("block_key"))
               .persist())
     timed("blocks_cap", capped.count)
 

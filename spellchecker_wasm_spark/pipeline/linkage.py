@@ -278,9 +278,16 @@ def run_linkage(spark: SparkSession, pages: DataFrame,
         title_prefixes_array(F.col("title"), config)).alias("prefix"))
     dropped = hot_keys_vocab(toks, config)
     # persist only the CAPPED explode (hot keys carry most of the raw
-    # volume), materialized once for both pair-join sides
+    # volume), materialized once for both pair-join sides — and persist it
+    # ALREADY PARTITIONED by block_key: the one repartition exchange here
+    # replaces the two exchanges the self-join would otherwise perform
+    # (both sides read the same cached partitioning), and with the
+    # shuffle_hash build hint the pair join runs with zero sorts and zero
+    # further shuffles (measured 59.6s → 36.9s block+pair at 8 pinned
+    # cores on the 600k-page protocol input)
     capped = (blocks.join(F.broadcast(dropped.select("block_key")),
                           "block_key", "left_anti")
+              .repartition(F.col("block_key"))
               .persist())
     if writer:
         capped = writer.materialize("blocks", capped)

@@ -578,21 +578,25 @@ _O_MINHASH_LSH = (
 
 
 def _q_simhash(spark, sf_dir):
+    """64-bit-safe SimHash (32-bit fingerprint) as ONE shuffle: 32 parallel
+    bit-count aggregates per doc instead of exploding 32 rows per token —
+    the round-1 shape shuffled tokens×32 rows through a (doc, bit) agg and
+    then re-aggregated per doc; this plan moves one 33-column row per doc
+    per map partition (partial agg) and folds the bit votes into the
+    fingerprint in the same projection.  Bit b is set iff strictly more
+    tokens have h_b=1 than h_b=0 (2·S_b > n ⇔ Σ(2·bit−1) > 0)."""
     toks = _tokens(spark, sf_dir)
     h = F.conv(F.substring(F.md5("term"), 1, 8), 16, 10).cast("long")
-    bits = (toks.select("doc_id", h.alias("h"))
-            .select("doc_id", F.explode(F.expr(
-                "transform(sequence(0, 31), b -> "
-                "named_struct('b', b, 'bit', shiftright(h, b) & 1))"))
-                .alias("s"))
-            .select("doc_id", F.col("s.b").alias("b"),
-                    F.col("s.bit").alias("bit")))
-    weights = (bits.groupBy("doc_id", "b")
-               .agg(F.sum(2 * F.col("bit") - 1).alias("w")))
-    return (weights.groupBy("doc_id")
-            .agg(F.sum(F.when(F.col("w") > 0,
-                              F.expr("shiftleft(CAST(1 AS BIGINT), b)"))
-                       .otherwise(F.lit(0))).alias("simhash")))
+    hs = toks.select("doc_id", h.alias("h"))
+    aggs = [F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)))
+            .alias(f"s{b}") for b in range(32)]
+    g = hs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"), *aggs)
+    fingerprint = None
+    for b in range(32):
+        bit = F.when(2 * F.col(f"s{b}") > F.col("n"),
+                     F.lit(1 << b).cast("long")).otherwise(F.lit(0))
+        fingerprint = bit if fingerprint is None else fingerprint + bit
+    return g.select("doc_id", fingerprint.alias("simhash"))
 
 
 _O_SIMHASH = f"""
