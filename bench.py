@@ -27,7 +27,8 @@ HEADLINE = [
     "term_clusters", "scored_pairs_osa", "scored_pairs_similarity",
     "lookup_closest", "lookup_top_unknown", "compound_known",
     "dedup_ngram_jaccard", "minhash_lsh_dups", "simhash", "embedding_knn",
-    "dedup_embedding_lsh", "text_stats", "doc_fingerprint",
+    "dedup_embedding_lsh", "ann_ivf_topk", "text_stats", "token_counts",
+    "doc_fingerprint",
     "word_segmentation", "media_frames", "tpch_q1",
     "tpch_q3", "event_sessions", "event_type_topk",
 ]

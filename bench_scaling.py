@@ -152,8 +152,10 @@ level: {", ".join(str(results[c]['pipeline']['f1']) for c in LEVELS)}.
 Host-variance caveat: this sandbox is a shared-host VM; identical
 protocol runs hours apart varied up to ~2× on every leg (hypervisor
 contention invisible to the guest).  The recorded table is the session's
-representative run; the efficiency ratios were stable across runs
-while absolute walls were not.
+representative run; across sessions the 2→8 ratio ranged 0.49–0.61
+(best measured session: walls 119.2/48.9/73.3 → 0.609) while absolute
+walls varied much more, so treat the ratio, not the walls, as the
+protocol's output.
 
 Protocol rigor (round 2): each leg is `taskset`-pinned to exactly N
 hardware threads (local[N] bounds only task slots — /proc counters showed

@@ -13,6 +13,17 @@ Two paths, per the training-data-pipeline requirement:
   Candidate volume drops from O(N²) to O(N²/2^planes · probes), which is
   what makes 10^12-scale ANN joins feasible; recall is tunable via
   n_planes/probes and is property-tested against the brute-force baseline.
+* ``ivf_topk`` — the other standard scale path (FAISS-style IVF): a small
+  centroid codebook partitions the corpus into cells (coarse
+  quantization); queries probe only their ``n_probe`` nearest cells and
+  re-rank exactly inside them.  The codebook here is a deterministic
+  stand-in (the ``n_cells`` lowest-id vectors) — a real pipeline would
+  k-means offline and broadcast the trained codebook through exactly the
+  same two joins, so the *Spark shape* (broadcast codebook → map-side
+  assignment with partial-agg argmax → broadcast probe join on cell) is
+  the one that matters at 100 TB: the corpus is never shuffled except one
+  narrow per-vector aggregation, and no pairwise join touches vectors
+  outside probed cells.
 """
 
 from __future__ import annotations
@@ -44,6 +55,73 @@ def brute_force_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
               .withColumn("dot", F.expr(
                   "aggregate(zip_with(qv, v, (x, y) -> x * y), 0L, "
                   "(a, x) -> a + x)"))
+              .withColumn("cos", F.col("dot") / (F.sqrt("qn") * F.sqrt("nrm"))))
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vid"))
+    return (joined.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(F.col("qid").alias("query_id"),
+                    F.col("vid").alias("neighbor_id"), "rank", "cos"))
+
+
+_DOT = ("aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0L, "
+        "(a, x) -> a + x)")
+
+
+def _centroids(base: DataFrame, n_cells: int) -> DataFrame:
+    """Deterministic codebook: the n_cells lowest-id vectors.  Swap-in
+    point for a trained (k-means) codebook — everything downstream only
+    needs (cid, cv, cn)."""
+    return (base.where(F.col("vid") < n_cells)
+            .select(F.col("vid").cast("int").alias("cid"),
+                    F.col("v").alias("cv"), F.col("nrm").alias("cn")))
+
+
+def _cell_scores(side: DataFrame, cent: DataFrame) -> DataFrame:
+    """side × broadcast codebook with centroid cosine — the map-side
+    fan-out is n_cells per vector, reduced before any exchange."""
+    return (side.crossJoin(F.broadcast(cent))
+            .withColumn("ccos",
+                        F.expr(_DOT.format(a="v", b="cv"))
+                        / (F.sqrt("nrm") * F.sqrt("cn"))))
+
+
+def ivf_assign(embeddings: DataFrame, n_cells: int = 16,
+               id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """Coarse-quantize every vector to its nearest centroid →
+    (vid, v, nrm, cell).  max_by over struct(ccos, -cid) is the argmax
+    with cosine-DESC, cid-ASC tie-break, and it partial-aggregates
+    map-side, so the only shuffle is one narrow row per vector."""
+    base = _prep(embeddings, id_col, vec_col)
+    cent = _centroids(base, n_cells)
+    return (_cell_scores(base, cent)
+            .groupBy("vid")
+            .agg(F.max_by("cid", F.struct(F.col("ccos"),
+                                          (-F.col("cid")).alias("nc")))
+                 .alias("cell"),
+                 F.first("v").alias("v"), F.first("nrm").alias("nrm")))
+
+
+def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
+             n_cells: int = 16, n_probe: int = 2,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF ANN top-k: queries probe their n_probe nearest cells, exact
+    cosine re-rank inside → (query_id, neighbor_id, rank, cos)."""
+    assigned = ivf_assign(embeddings, n_cells, id_col, vec_col)
+    qbase = _prep(queries, id_col, vec_col)
+    cent = _centroids(_prep(embeddings, id_col, vec_col), n_cells)
+    pw = Window.partitionBy("vid").orderBy(F.desc("ccos"), F.asc("cid"))
+    probes = (_cell_scores(qbase, cent)
+              .withColumn("pr", F.row_number().over(pw))
+              .where(F.col("pr") <= n_probe)
+              .select(F.col("vid").alias("qid"), F.col("v").alias("qv"),
+                      F.col("nrm").alias("qn"), F.col("cid").alias("cell")))
+    # probe side is |queries|·n_probe rows → broadcast; the corpus scan
+    # joins it without shuffling
+    joined = (assigned.join(F.broadcast(probes), "cell")
+              .where(F.col("vid") != F.col("qid"))
+              .dropDuplicates(["qid", "vid"])
+              .withColumn("dot", F.expr(_DOT.format(a="qv", b="v")))
               .withColumn("cos", F.col("dot") / (F.sqrt("qn") * F.sqrt("nrm"))))
     w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vid"))
     return (joined.withColumn("rank", F.row_number().over(w))

@@ -868,6 +868,113 @@ WHERE rank <= 5
 """
 
 
+_IVF_CELLS = 16
+_IVF_PROBE = 2
+
+
+def _q_ann_ivf_topk(spark, sf_dir):
+    """FAISS-style IVF ANN (operators/similarity.ivf_topk): deterministic
+    16-centroid codebook, queries (vec_id < 50) probe their 2 nearest
+    cells, exact cosine top-5 re-rank inside.  cos column dropped from the
+    catalog output so the hash compares integer ranks only (ordering is
+    already float-tie-broken by id)."""
+    from .operators.similarity import ivf_topk
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 50)
+    return (ivf_topk(emb, q, k=5, n_cells=_IVF_CELLS, n_probe=_IVF_PROBE)
+            .select("query_id", "neighbor_id", "rank"))
+
+
+_O_ANN_IVF = f"""
+WITH e AS (SELECT vec_id, list_transform(embedding,
+                  x -> CAST(round(x * 1000) AS BIGINT)) AS v
+           FROM embeddings),
+n AS (SELECT vec_id, v, list_sum(list_transform(v, x -> x * x)) AS nrm
+      FROM e),
+cent AS (SELECT CAST(vec_id AS INTEGER) AS cid, v AS cv, nrm AS cn
+         FROM n WHERE vec_id < {_IVF_CELLS}),
+cs AS (SELECT b.vec_id, b.v, b.nrm, c.cid,
+              list_sum(list_transform(list_zip(b.v, c.cv),
+                                      p -> p[1] * p[2]))
+              / (sqrt(b.nrm) * sqrt(c.cn)) AS ccos
+       FROM n b CROSS JOIN cent c),
+asg AS (SELECT vec_id, cid AS cell FROM (
+            SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+                ORDER BY ccos DESC, cid ASC) AS rn FROM cs)
+        WHERE rn = 1),
+probes AS (SELECT vec_id AS qid, cid AS cell FROM (
+               SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+                   ORDER BY ccos DESC, cid ASC) AS rn
+               FROM cs WHERE vec_id < 50)
+           WHERE rn <= {_IVF_PROBE}),
+cand AS (SELECT DISTINCT p.qid, a.vec_id AS nid
+         FROM probes p JOIN asg a ON a.cell = p.cell
+         WHERE a.vec_id <> p.qid),
+scored AS (SELECT c.qid, c.nid,
+                  list_sum(list_transform(list_zip(q.v, x.v),
+                                          z -> z[1] * z[2]))
+                  / (sqrt(q.nrm) * sqrt(x.nrm)) AS cos
+           FROM cand c JOIN n q ON q.vec_id = c.qid
+           JOIN n x ON x.vec_id = c.nid)
+SELECT query_id, neighbor_id, rank FROM (
+    SELECT qid AS query_id, nid AS neighbor_id,
+           CAST(row_number() OVER (PARTITION BY qid
+               ORDER BY cos DESC, nid ASC) AS INTEGER) AS rank
+    FROM scored)
+WHERE rank <= 5
+"""
+
+
+# BPE-ish pre-tokenizer: contraction suffixes | space-attached letter runs
+# | space-attached digit runs | space-attached punctuation runs | whitespace
+# — GPT-2's pattern family restricted to ASCII classes so Java regex
+# (Spark) and RE2 (DuckDB) agree; both engines use leftmost-first
+# alternation here.
+_BPE_PAT = "'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s']+|\\s+"
+
+
+def _q_token_counts(spark, sf_dir):
+    """Training-data token accounting over documents: BPE-ish regex
+    pre-tokenization (the unit LLM data pipelines budget by), plus
+    whitespace-word count for comparison.  Pure JVM regex — no UDF."""
+    docs = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    toks = F.regexp_extract_all(F.col("text"), F.lit(_BPE_PAT), F.lit(0))
+    is_ws = lambda t: t.rlike("^\\s+$")  # noqa: E731
+    return (docs
+            .withColumn("toks", toks)
+            .select(
+                "doc_id",
+                F.size("toks").alias("n_pieces"),
+                F.size(F.array_distinct("toks")).alias("n_unique_pieces"),
+                F.size(F.filter("toks", lambda t: t.rlike("^ ?[a-zA-Z]+$")))
+                .alias("n_alpha"),
+                F.size(F.filter("toks", lambda t: t.rlike("^ ?[0-9]+$")))
+                .alias("n_numeric"),
+                F.size(F.filter("toks", is_ws)).alias("n_ws"),
+                F.size(F.split(F.trim("text"), "\\s+")).alias("n_words")))
+
+
+_O_TOKEN_COUNTS = f"""
+WITH t AS (SELECT doc_id,
+                  regexp_extract_all(text,
+                      '{_BPE_PAT.replace("'", "''")}') AS toks,
+                  text
+           FROM documents WHERE text IS NOT NULL)
+SELECT doc_id,
+       CAST(len(toks) AS INTEGER) AS n_pieces,
+       CAST(len(list_distinct(toks)) AS INTEGER) AS n_unique_pieces,
+       CAST(len(list_filter(toks, x -> regexp_matches(x, '^ ?[a-zA-Z]+$')))
+            AS INTEGER) AS n_alpha,
+       CAST(len(list_filter(toks, x -> regexp_matches(x, '^ ?[0-9]+$')))
+            AS INTEGER) AS n_numeric,
+       CAST(len(list_filter(toks, x -> regexp_matches(x, '^\\s+$')))
+            AS INTEGER) AS n_ws,
+       CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+            AS INTEGER) AS n_words
+FROM t
+"""
+
+
 _STOPWORDS = ("the", "a")
 
 
@@ -1378,6 +1485,8 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "dedup_embedding_lsh": (_q_dedup_embedding_lsh, _o_dedup_lsh_sql()),
     "ann_lsh_buckets": (_q_ann_lsh_buckets, _o_lsh_sql()),
     "ann_topk_lsh": (_q_ann_topk_lsh, _o_ann_topk_sql()),
+    "ann_ivf_topk": (_q_ann_ivf_topk, _O_ANN_IVF),
+    "token_counts": (_q_token_counts, _O_TOKEN_COUNTS),
     "text_stats": (_q_text_stats, _O_TEXT_STATS),
     "doc_fingerprint": (_q_doc_fingerprint, _O_DOC_FINGERPRINT),
     "binary_features": (_q_binary_features, _O_BINARY_FEATURES),

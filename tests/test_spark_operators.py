@@ -197,6 +197,42 @@ def test_lsh_dedup_recall_vs_brute_force(spark):
     assert recall >= 0.95, recall  # measured 0.996 (theory: 1-(1-p^8)^2)
 
 
+def test_ivf_full_probe_equals_brute_force(spark):
+    """With n_probe == n_cells the IVF candidate set is the whole corpus,
+    so ivf_topk must return exactly the brute-force top-k — this proves
+    the assignment/probe/re-rank plumbing loses nothing besides the cells
+    it intentionally skips."""
+    from spellchecker_wasm_spark.operators.similarity import (
+        brute_force_topk, ivf_topk)
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 20)
+    exact = {(r[0], r[1], r[2])
+             for r in brute_force_topk(emb, q, k=5).collect()}
+    ivf_all = {(r[0], r[1], r[2])
+               for r in ivf_topk(emb, q, k=5, n_cells=16,
+                                 n_probe=16).collect()}
+    assert ivf_all == exact
+    assert len(exact) == 100
+
+
+def test_ivf_probe2_recall(spark):
+    """Probing 2 of 16 cells must still find most true neighbors: assert
+    IVF output ranks are well-formed and recall@5 vs brute force clears
+    the floor (measured 0.83 on this fixture — near neighbors mostly land
+    in the query's own top cells even for weakly-clustered vectors)."""
+    from spellchecker_wasm_spark.operators.similarity import (
+        brute_force_topk, ivf_topk)
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 20)
+    exact = {(r[0], r[1]) for r in brute_force_topk(emb, q, k=5).collect()}
+    got = ivf_topk(emb, q, k=5, n_cells=16, n_probe=2).collect()
+    assert all(1 <= r["rank"] <= 5 for r in got)
+    recall = len({(r[0], r[1]) for r in got} & exact) / len(exact)
+    assert recall >= 0.5, recall  # measured 0.83
+
+
 def test_salted_join_equals_plain_join(spark):
     """salted_join must produce exactly the plain join's rows while
     spreading a hot key over n_salts sub-keys."""
