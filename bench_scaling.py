@@ -79,14 +79,23 @@ the same input generator at 10× and 30× the protocol size:
 | pages | candidate pairs | scored | block s | score s | cluster s | total s | F1 |
 |---|---|---|---|---|---|---|---|
 | 600,237 | 10,331,186 | 522,930 | 51.2* | 3.0 | 12.2 | 73.3* | 1.0 |
-| 1,799,583 | 43,826,440 | 1,568,580 | 199.7 | 12.0 | 21.9 | 233.6 | 0.999998 |
+| 1,799,583 (sort-merge join) | 43,826,440 | 1,568,580 | 199.7 | 12.0 | 21.9 | 233.6 | 0.999998 |
+| 1,799,583 (shuffle-hash join) | 43,826,440 | 1,568,580 | 75.6 | 17.7 | 19.5 | 112.8 | 0.999998 |
 
-(*unpinned local[32] leg of an earlier protocol table.)  Throughput holds
-at 3.6M candidate-pairs-scored/sec through the scoring stage at 1.8M
-pages; the block stage grows with the quadratic candidate volume
-(43.8M candidates — 24 per page vs 17 at 600k pages, as capped block
-occupancy rises with corpus density), which is the expected cost curve
-for shared-key blocking at a fixed 500-posting cap.
+(*unpinned local[32] leg of an earlier protocol table; the two 1.8M rows
+are before/after the cached-partitioning + shuffle_hash pair join — the
+optimization's payoff GROWS with scale: 2.07× end-to-end, 2.6× on the
+block stage, because the two eliminated 40M-row sorts were the
+superlinear term.)  End-to-end throughput at 1.8M pages is 389k
+candidate-pairs/sec through the whole pipeline, 2.47M pairs-scored/sec
+through the scoring stage; the block stage grows with the quadratic
+candidate volume (43.8M candidates — 24 per page vs 17 at 600k pages, as
+capped block occupancy rises with corpus density), which is the expected
+cost curve for shared-key blocking at a fixed 500-posting cap.  Note
+1.8M pages at 32 cores costs only 1.4× the wall of 600k pages (112.8 vs
+81.4 protocol leg) — fixed stage costs still dominate the small input,
+which is also what caps the measured single-box N→4N ratio below the
+0.8 target (see analysis above).
 
 The 1.8M-page F1 of 0.999998 is precision 1.0 / recall 0.9999958 — 10 of
 2.4M truth pairs missed, diagnosed exactly (not hand-waved): a variant

@@ -54,6 +54,40 @@ def test_windowed_event_counts_static_vs_stream(spark, tmp_path):
         assert want[k] == v
 
 
+def test_stream_exact_dedup_matches_batch(spark, tmp_path):
+    """Streaming exact dedup across micro-batches: duplicates arriving
+    within the watermark horizon are suppressed, so the streamed output's
+    key set equals the batch dropDuplicates over the union."""
+    import datetime as dt
+
+    from spellchecker_wasm_spark.streaming import stream_exact_dedup
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows = [Row(doc_id=i, text=f"document body {i % 30}",
+                ts=t0 + dt.timedelta(seconds=i)) for i in range(60)]
+    df = spark.createDataFrame(rows)
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    # file 1: 30 distinct texts; file 2: 30 duplicates of them, 30s later
+    df.where("doc_id < 30").coalesce(1).write.parquet(str(src / "b1"))
+    df.where("doc_id >= 30").coalesce(1).write.parquet(str(src / "b2"))
+
+    batch_keys = {r["content_key"] for r in
+                  stream_exact_dedup(df, ["text"]).collect()}
+    assert len(batch_keys) == 30
+
+    stream = (spark.readStream.schema(df.schema)
+              .option("maxFilesPerTrigger", "1").parquet(str(src / "*")))
+    out = stream_exact_dedup(stream, ["text"], watermark="1 hour")
+    q = (out.writeStream.format("memory").queryName("dedup_s")
+         .outputMode("append").trigger(availableNow=True)
+         .option("checkpointLocation", str(tmp_path / "ck_dedup")).start())
+    q.awaitTermination(120)
+    got = spark.table("dedup_s").collect()
+    assert len(got) == 30
+    assert {r["content_key"] for r in got} == batch_keys
+
+
 def test_stateful_sessionization_matches_batch(spark, tmp_path):
     """applyInPandasWithState sessionizer: final per-user state across TWO
     time-ordered micro-batches must equal the batch event_sessions
