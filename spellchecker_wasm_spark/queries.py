@@ -929,8 +929,12 @@ WHERE rank <= 5
 # | space-attached digit runs | space-attached punctuation runs | whitespace
 # — GPT-2's pattern family restricted to ASCII classes so Java regex
 # (Spark) and RE2 (DuckDB) agree; both engines use leftmost-first
-# alternation here.
-_BPE_PAT = "'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s']+|\\s+"
+# alternation here.  Whitespace is an EXPLICIT class, not \s: Java's \s
+# includes \x0b (vertical tab) while DuckDB's RE2 \s does not — found by
+# the adversarial agreement test in tests/test_text_expr.py.
+_WS = " \\t\\n\\f\\r\\x0b"
+_BPE_PAT = ("'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+|"
+            f" ?[^a-zA-Z0-9{_WS}']+|[{_WS}]+")
 
 
 def _q_token_counts(spark, sf_dir):
@@ -939,7 +943,7 @@ def _q_token_counts(spark, sf_dir):
     whitespace-word count for comparison.  Pure JVM regex — no UDF."""
     docs = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     toks = F.regexp_extract_all(F.col("text"), F.lit(_BPE_PAT), F.lit(0))
-    is_ws = lambda t: t.rlike("^\\s+$")  # noqa: E731
+    is_ws = lambda t: t.rlike(f"^[{_WS}]+$")  # noqa: E731
     return (docs
             .withColumn("toks", toks)
             .select(
@@ -951,7 +955,7 @@ def _q_token_counts(spark, sf_dir):
                 F.size(F.filter("toks", lambda t: t.rlike("^ ?[0-9]+$")))
                 .alias("n_numeric"),
                 F.size(F.filter("toks", is_ws)).alias("n_ws"),
-                F.size(F.split(F.trim("text"), "\\s+")).alias("n_words")))
+                F.size(F.split(F.trim("text"), f"[{_WS}]+")).alias("n_words")))
 
 
 _O_TOKEN_COUNTS = f"""
@@ -967,9 +971,9 @@ SELECT doc_id,
             AS INTEGER) AS n_alpha,
        CAST(len(list_filter(toks, x -> regexp_matches(x, '^ ?[0-9]+$')))
             AS INTEGER) AS n_numeric,
-       CAST(len(list_filter(toks, x -> regexp_matches(x, '^\\s+$')))
+       CAST(len(list_filter(toks, x -> regexp_matches(x, '^[{_WS}]+$')))
             AS INTEGER) AS n_ws,
-       CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+       CAST(len(regexp_split_to_array(trim(text), '[{_WS}]+'))
             AS INTEGER) AS n_words
 FROM t
 """

@@ -112,3 +112,38 @@ def test_parse_words_regex_oracle_on_quirk_strings():
         got = con.execute(
             "SELECT regexp_extract_all(?, ?)", [text, pat]).fetchone()[0]
         assert got == parse_words(text), (text, got, parse_words(text))
+
+
+def test_bpe_pattern_java_vs_re2_on_adversarial_strings(spark):
+    """token_counts relies on Spark (Java regex) and the DuckDB oracle
+    (RE2) tokenizing identically.  Fuzz the agreement on the string
+    classes where the engines could plausibly diverge: apostrophes and
+    contraction suffixes, unicode letters/whitespace outside the ASCII
+    classes, astral-plane symbols (UTF-16 surrogate pairs in Java vs
+    codepoints in RE2), mixed control whitespace, and empty-ish runs."""
+    import duckdb
+    from pyspark.sql import Row, functions as F
+
+    from spellchecker_wasm_spark.queries import _BPE_PAT
+
+    cases = [
+        "it's Tom's 'quoted' don't y'all've",
+        "tab\tnewline\nmix \r\n \x0b end",
+        "digits 123 mixed a1b2c3 42",
+        "punct!!! ...ellipsis--dash???",
+        "unicode: привет мир, 漢字とカナ",
+        "emoji 🎉🎊 and notes 𝄞𝄢 astral",
+        "nbsp separated em-space",
+        "'", " '", "''", "'s", " 's",
+        "", " ", "   leading and trailing   ",
+        "CamelCase mixedUPPER lower",
+    ]
+    sdf = spark.createDataFrame([Row(i=i, t=c) for i, c in enumerate(cases)])
+    got = {r["i"]: r["toks"] for r in sdf.select(
+        "i", F.regexp_extract_all(F.col("t"), F.lit(_BPE_PAT), F.lit(0))
+        .alias("toks")).collect()}
+    con = duckdb.connect()
+    for i, text in enumerate(cases):
+        want = con.execute("SELECT regexp_extract_all(?, ?)",
+                           [text, _BPE_PAT]).fetchone()[0]
+        assert got[i] == want, (text, got[i], want)
