@@ -233,6 +233,30 @@ def test_ivf_probe2_recall(spark):
     assert recall >= 0.5, recall  # measured 0.83
 
 
+def test_ivf_arrow_assignment_equals_jvm(spark):
+    """The numpy-matmul assignment path must be bit-identical to the
+    pure-Catalyst one: same quantization, same IEEE doubles, same
+    (cos DESC, cid ASC) tie-break — so cell assignments and the full
+    top-k output match exactly."""
+    from spellchecker_wasm_spark.operators.similarity import (
+        ivf_assign, ivf_assign_arrow, ivf_topk)
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    jvm = {r["vid"]: r["cell"]
+           for r in ivf_assign(emb, n_cells=16).collect()}
+    arrow = {r["vid"]: r["cell"]
+             for r in ivf_assign_arrow(emb, n_cells=16).collect()}
+    assert jvm == arrow
+
+    q = emb.where(F.col("vec_id") < 20)
+    topk_jvm = {(r[0], r[1], r[2]) for r in
+                ivf_topk(emb, q, k=5, n_cells=16, n_probe=2).collect()}
+    topk_arrow = {(r[0], r[1], r[2]) for r in
+                  ivf_topk(emb, q, k=5, n_cells=16, n_probe=2,
+                           assign_impl="arrow").collect()}
+    assert topk_jvm == topk_arrow
+
+
 def test_salted_join_equals_plain_join(spark):
     """salted_join must produce exactly the plain join's rows while
     spreading a hot key over n_salts sub-keys."""
