@@ -198,28 +198,33 @@ an N→4N cluster scales both; best-of-{repeats} with JVM quiesce between
 legs.
 
 Analysis — counters, not guesses (scripts/diag_cpu.py, /proc-sampled JVM+
-worker CPU per stage, identical 600k-page job, same 32g heap):
+worker CPU per stage, identical 600k-page job; table re-measured on the
+current shuffle-hash pair-join plan):
 
 | stage | wall@2 | cpu core-s@2 | wall@8 | cpu core-s@8 |
 |---|---|---|---|---|
-| blocks+cap | 48.9 | 95.6 | 19.2 | 121.7 |
-| pair join+dedup | 50.2 | 22.3 | 30.7 | 235.2 |
-| score | 16.7 | 33.2 | 7.5 | 55.1 |
-| cluster | 8.9 | 8.7 | 8.5 | 15.8 |
-| **total** | **124.8** | **159.8** | **65.9** | **427.8** |
+| blocks+cap | 55.1 | 107.1 | 19.7 | 122.3 |
+| pair join+dedup | 49.9 | 25.3 | 14.7 | 110.4 |
+| score | 17.4 | 34.5 | 6.1 | 43.6 |
+| cluster | 9.4 | 9.3 | 7.7 | 14.5 |
+| **total** | **131.7** | **176.2** | **48.3** | **290.8** |
 
-The identical job consumes ~2.7× the CPU core-seconds at 8 threads as at
-2: on one box, extra threads pay for themselves in memory-stall cycles,
-shuffle (de)compression contention and GC — all billed as "busy CPU" —
-while at 2 threads the pair-join/dedup stage waits on the shared local
-shuffle disk at ~22% CPU utilization.  Both are single-box artifacts: a
-real N→4N cluster multiplies memory channels, page cache and disks
-instead of sharing them.  The work itself distributes evenly — per-stage
-task-balance is flat, AQE reports no skewed partitions, F1 is identical
-at every level — so the plan is not the bound; the box is.  The 8→32
-step saturates outright (the block stage anti-scales beyond ~8-16
-threads, consistent with the round-1 kernel measurement that the
-memory-bus-bound DP kernel stops scaling at the same point).
+The identical job consumes ~1.65× the CPU core-seconds at 8 threads as
+at 2 (the sort-merge-era plan inflated 2.7× — replacing the two pair
+sorts with the cached-partitioning hash join removed most of the
+contention-billed work): extra threads on one box pay for themselves in
+memory-stall cycles, shuffle (de)compression contention and GC — all
+billed as "busy CPU" — while at 2 threads the pair-join/dedup stage
+waits on the shared local shuffle disk at ~25% CPU utilization.  Both
+are single-box artifacts: a real N→4N cluster multiplies memory
+channels, page cache and disks instead of sharing them.  The work
+itself distributes evenly — per-stage task-balance is flat, AQE reports
+no skewed partitions, F1 is identical at every level — so the plan is
+not the bound; the box is.  (This diag pair of runs itself walled
+131.7→48.3s ex-generation = 0.68 efficiency at 2→8.)  The 8→32 step
+saturates outright (the block stage anti-scales beyond ~8-16 threads,
+consistent with the round-1 kernel measurement that the memory-bus-bound
+DP kernel stops scaling at the same point).
 """
     md += _SCALE_ESCALATION_APPENDIX
     out_path = os.environ.get("BENCH_OUT", "BENCH/BASELINE.md")
