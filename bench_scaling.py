@@ -184,11 +184,19 @@ level: {", ".join(str(results[c]['pipeline']['f1']) for c in LEVELS)}.
 
 Host-variance caveat: this sandbox is a shared-host VM; identical
 protocol runs hours apart varied up to ~2× on every leg (hypervisor
-contention invisible to the guest).  The recorded table is the session's
-representative run; across sessions the 2→8 ratio ranged 0.49–0.61
-(best measured session: walls 119.2/48.9/73.3 → 0.609) while absolute
-walls varied much more, so treat the ratio, not the walls, as the
-protocol's output.
+contention invisible to the guest).  Across runs the formal 2→8 output
+ranged 0.49–0.84: a later same-session repeat produced **0.843**
+(walls 214.6/63.7/67.8), clearing the 0.8 target on paper — but its
+local[2] leg ran 1.75× slower than the same leg hours earlier
+(both best-of-2 repeats; the 8- and 32-thread legs matched across
+runs), so that reading owes as much to a degraded 2-thread hour as to
+the plan.  We flag this rather than claim it: the reliable evidence
+for the target is the trend, not any single reading — the ratio rises
+with input size (0.49 → 0.61 at 3× input, see the 1.8M-page protocol
+below), CPU-counter inflation fell from 2.7× to 1.65× with the
+hash-join rewrite, and an interleaved diag pair walled at 0.68 — all
+pointing at Amdahl fixed costs plus the shared memory bus, not the
+plan, as the residual.
 
 Protocol rigor (round 2): each leg is `taskset`-pinned to exactly N
 hardware threads (local[N] bounds only task slots — /proc counters showed
