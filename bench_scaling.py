@@ -81,6 +81,7 @@ the same input generator at 10× and 30× the protocol size:
 | 600,237 | 10,331,186 | 522,930 | 51.2* | 3.0 | 12.2 | 73.3* | 1.0 |
 | 1,799,583 (sort-merge join) | 43,826,440 | 1,568,580 | 199.7 | 12.0 | 21.9 | 233.6 | 0.999998 |
 | 1,799,583 (shuffle-hash join) | 43,826,440 | 1,568,580 | 75.6 | 17.7 | 19.5 | 112.8 | 0.999998 |
+| 3,599,218 (shuffle-hash join) | 141,622,735 | 3,137,146 | 447.6 | 26.0 | 33.9 | 507.4 | 0.999998 |
 
 (*unpinned local[32] leg of an earlier protocol table; the two 1.8M rows
 are before/after the cached-partitioning + shuffle_hash pair join — the
@@ -88,10 +89,15 @@ optimization's payoff GROWS with scale: 2.07× end-to-end, 2.6× on the
 block stage, because the two eliminated 40M-row sorts were the
 superlinear term.)  End-to-end throughput at 1.8M pages is 389k
 candidate-pairs/sec through the whole pipeline, 2.47M pairs-scored/sec
-through the scoring stage; the block stage grows with the quadratic
-candidate volume (43.8M candidates — 24 per page vs 17 at 600k pages, as
-capped block occupancy rises with corpus density), which is the expected
-cost curve for shared-key blocking at a fixed 500-posting cap.  Note
+through the scoring stage (5.45M at 3.6M pages); the block stage grows
+with the quadratic candidate volume (17 → 24 → 39 candidates per page
+across the three sizes, as capped block occupancy rises with corpus
+density), which is the expected cost curve for shared-key blocking at a
+fixed 500-posting cap.  At 3.6M pages / 141.6M candidates on this one
+box, the 64g heap starts paying memory pressure in the block stage
+(447.6s for 3.2× the candidates of the 1.8M run's 75.6s); scoring and
+clustering stay linear, and F1 holds at 0.999998 — on a cluster the
+same stage gets 4 GB/core × more executors instead of a fixed box.  Note
 1.8M pages at 32 cores costs only 1.4× the wall of 600k pages (112.8 vs
 81.4 protocol leg) — fixed stage costs still dominate the small input,
 which is also what caps the measured single-box N→4N ratio below the
