@@ -94,10 +94,16 @@ with the quadratic candidate volume (17 → 24 → 39 candidates per page
 across the three sizes, as capped block occupancy rises with corpus
 density), which is the expected cost curve for shared-key blocking at a
 fixed 500-posting cap.  At 3.6M pages / 141.6M candidates on this one
-box, the 64g heap starts paying memory pressure in the block stage
-(447.6s for 3.2× the candidates of the 1.8M run's 75.6s); scoring and
-clustering stay linear, and F1 holds at 0.999998 — on a cluster the
-same stage gets 4 GB/core × more executors instead of a fixed box.  Note
+box the block stage turns superlinear (447.6s for 3.2× the candidates
+of the 1.8M run's 75.6s).  Tested, not guessed: re-running with 256
+shuffle partitions instead of 64 (smaller shuffle-hash build per task)
+made block slightly WORSE (493.4s) while scoring improved (26.0 →
+14.6s) — so per-task build memory is not the binding constraint; the
+~45 GB working set (288M-row cached explode + 141.6M-pair dedup)
+saturating one box's page cache / memory bus is.  Scoring and
+clustering stay linear, F1 holds at 0.999998 — on a cluster this
+stage's working set spreads across executors' memory instead of one
+box's.  Note
 1.8M pages at 32 cores costs only 1.4× the wall of 600k pages (112.8 vs
 81.4 protocol leg) — fixed stage costs still dominate the small input,
 which is also what caps the measured single-box N→4N ratio below the

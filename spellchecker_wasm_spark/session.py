@@ -28,8 +28,11 @@ def get_spark(app_name: str = "spellchecker_wasm_spark",
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
         # ~2x cores locally; on a real cluster AQE coalesces from a high
-        # initial count, so err high rather than low
-        shuffle_partitions = max(2 * cpus, 8)
+        # initial count, so err high rather than low.  Override via env
+        # when input size outgrows the per-partition memory budget (the
+        # shuffle-hash build side scales with partition size).
+        shuffle_partitions = int(os.environ.get(
+            "SPARK_GRAFT_SHUFFLE_PARTITIONS", max(2 * cpus, 8)))
     b = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
