@@ -549,18 +549,29 @@ _O_MINHASH_SIGNATURES = (
 
 
 def _q_minhash_lsh_dups(spark, sf_dir):
+    """Banded-LSH duplicate candidates as bucket-collect, not self-join:
+    the naive bands-join-bands plan computes the signature aggregation —
+    the expensive full-corpus stage — TWICE (Catalyst cannot reuse a
+    shuffle exchange as a broadcast exchange), while grouping each band
+    bucket and emitting its pairs computes it once and shuffles only
+    (doc_id, band_key).  sort_array makes doc_a < doc_b by construction.
+    At corpus scale a popularity-hot bucket additionally needs the cap
+    that scripts/bench_dedup.py applies; the catalog query stays uncapped
+    for exact oracle parity."""
     sig = _q_minhash_signatures(spark, sf_dir)
     bands = sig.select("doc_id", F.explode(F.array(*[
         F.concat_ws("_", F.lit(b), F.col(f"mh_{2 * b}"),
                     F.col(f"mh_{2 * b + 1}"))
         for b in range(_N_MINHASH // 2)])).alias("band_key"))
-    a = bands.alias("a")
-    b = bands.alias("b")
-    return (a.join(b, (F.col("a.band_key") == F.col("b.band_key"))
-                   & (F.col("a.doc_id") < F.col("b.doc_id")))
-            .select(F.col("a.doc_id").alias("doc_a"),
-                    F.col("b.doc_id").alias("doc_b"))
-            .distinct())
+    buckets = (bands.groupBy("band_key")
+               .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+               .where(F.size("ids") >= 2))
+    return (buckets.select(F.explode(F.expr(
+        "flatten(transform(ids, (x, i) -> transform("
+        "slice(ids, i + 2, size(ids) - i - 1), "
+        "y -> struct(x AS doc_a, y AS doc_b))))")).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .distinct())
 
 
 _O_MINHASH_LSH = (
