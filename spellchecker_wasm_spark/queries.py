@@ -492,18 +492,30 @@ sh AS (SELECT DISTINCT doc_id,
 
 
 def _q_dedup_ngram_jaccard(spark, sf_dir):
+    """Inverted-index n-gram Jaccard in ONE shingle pass.  The naive
+    shape (sh self-join on shingle + two size joins) references the
+    shingle subtree four times and Catalyst recomputes the corpus scan +
+    explode for each; here per-doc shingle counts attach via a window
+    BEFORE bucketing, each shingle bucket emits its (doc, n) pairs with
+    sizes already in hand, and a single pair-count aggregation finishes
+    Jaccard — one scan, three narrow shuffles, no joins at all."""
+    from pyspark.sql import Window
+
     sh = _shingles(spark, sf_dir)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (a.join(b, (F.col("a.sh") == F.col("b.sh"))
-                    & (F.col("a.doc_id") < F.col("b.doc_id")))
-             .groupBy(F.col("a.doc_id").alias("doc_a"),
-                      F.col("b.doc_id").alias("doc_b"))
-             .agg(F.count(F.lit(1)).alias("c")))
-    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    return (inter.join(na, "doc_a").join(nb, "doc_b")
+    shn = sh.withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
+    buckets = (shn.groupBy("sh")
+               .agg(F.sort_array(F.collect_list(F.struct("doc_id", "n")))
+                    .alias("ids"))
+               .where(F.size("ids") >= 2))
+    pairs = (buckets.select(F.explode(F.expr(
+        "flatten(transform(ids, (x, i) -> transform("
+        "slice(ids, i + 2, size(ids) - i - 1), "
+        "y -> struct(x.doc_id AS doc_a, y.doc_id AS doc_b, "
+        "x.n AS na, y.n AS nb))))")).alias("p"))
+        .select("p.doc_a", "p.doc_b", "p.na", "p.nb"))
+    return (pairs.groupBy("doc_a", "doc_b", "na", "nb")
+            .agg(F.count(F.lit(1)).alias("c"))
             .select("doc_a", "doc_b",
                     (F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
                      ).alias("jaccard"))
