@@ -782,13 +782,19 @@ def _q_dedup_embedding_lsh(spark, sf_dir):
     aug = _lsh_dedup_input(spark, sf_dir)
     cands = None
     for t in range(_LSH_DEDUP_TABLES):
+        # bucket-collect instead of self-join: computes the augmented
+        # corpus + signature ONCE per table (Catalyst recomputes each
+        # join-side reference) and shuffles only (vec_id, bucket)
         b = aug.withColumn("bucket", lsh_signature_expr(
             _LSH_DEDUP_PLANES, _LSH_DIMS, _LSH_SEED + 1000 * (t + 1)))
-        a = b.select(F.col("vec_id").alias("vec_a"), "bucket")
-        c = b.select(F.col("vec_id").alias("vec_b"), "bucket")
-        p = (a.join(c, "bucket")
-             .where(F.col("vec_a") < F.col("vec_b"))
-             .select("vec_a", "vec_b"))
+        p = (b.groupBy("bucket")
+             .agg(F.sort_array(F.collect_list("vec_id")).alias("ids"))
+             .where(F.size("ids") >= 2)
+             .select(F.explode(F.expr(
+                 "flatten(transform(ids, (x, i) -> transform("
+                 "slice(ids, i + 2, size(ids) - i - 1), "
+                 "y -> struct(x AS vec_a, y AS vec_b))))")).alias("p"))
+             .select("p.vec_a", "p.vec_b"))
         cands = p if cands is None else cands.union(p)
     cands = cands.distinct()
     na = aug.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
