@@ -124,10 +124,19 @@ def distributed_lookup(queries: DataFrame, words: DataFrame,
             F.col("distance") == F.col("_md")).drop("_md")
 
     if include_unknown:
-        missing = (q.join(results.select("query"), "query", "left_anti")
-                   .select("query", F.col("query").alias("term"),
-                           F.lit(max_edit_distance + 1).alias("distance"),
-                           F.lit(0).cast("long").alias("count"),
-                           F.lit(1).alias("rank")))
-        results = results.unionByName(missing)
+        # left join + coalesce, NOT anti-join + union: the anti-join form
+        # references the whole scored-results subtree twice and Catalyst
+        # recomputes it — doubling the UDF scoring stage on the
+        # corpus-sized side.  A left join from the query set fills the
+        # synthesized (query, med+1, 0) row (sym_spell.rs:298-303) for
+        # result-less queries with the results subtree referenced once.
+        results = (q.select("query").join(results, "query", "left")
+                   .select("query",
+                           F.coalesce("term", F.col("query")).alias("term"),
+                           F.coalesce("distance",
+                                      F.lit(max_edit_distance + 1))
+                           .alias("distance"),
+                           F.coalesce("count", F.lit(0).cast("long"))
+                           .alias("count"),
+                           F.coalesce("rank", F.lit(1)).alias("rank")))
     return results
