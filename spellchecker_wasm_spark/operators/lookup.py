@@ -59,10 +59,18 @@ def distributed_lookup(queries: DataFrame, words: DataFrame,
                        & (F.col("q_len") - max_edit_distance <= max_dict_len))
 
     # exact match runs AFTER the length guards (sym_spell.rs:306 precedes
-    # :311): a too-short query never emits its self row
-    exact = (eligible.join(words.withColumnRenamed("term", "query"), "query")
+    # :311): a too-short query never emits its self row.  Exactness is
+    # attached as a COLUMN via one broadcast left join, so the
+    # short-circuit below is a filter instead of an anti-join that would
+    # reference (and recompute) a second corpus-sized subtree.
+    wq = words.select(F.col("term").alias("query"),
+                      F.col("count").alias("_exact_count"))
+    eligible = eligible.join(
+        F.broadcast(wq) if broadcast_words else wq, "query", "left")
+    exact = (eligible.where(F.col("_exact_count").isNotNull())
              .select("query", F.col("query").alias("term"),
-                     F.lit(0).alias("distance"), F.col("count")))
+                     F.lit(0).alias("distance"),
+                     F.col("_exact_count").alias("count")))
 
     blocks = words.select(
         "term", "count",
@@ -74,6 +82,7 @@ def distributed_lookup(queries: DataFrame, words: DataFrame,
 
     cand = eligible.select(
         "query", "q_len",
+        F.col("_exact_count").isNotNull().alias("_has_exact"),
         F.explode(query_deletes_array(
             F.col("query"), max_edit_distance, prefix_length))
         .alias("block_key"))
@@ -82,8 +91,8 @@ def distributed_lookup(queries: DataFrame, words: DataFrame,
               .where(F.col("term") != F.col("query"))
               .where(~((F.length("term") > F.col("q_len"))
                        & (F.length("term") - F.col("q_len") > max_edit_distance))))
-    pairs = joined.select("query", "q_len", "term", "count").dropDuplicates(
-        ["query", "term"])
+    pairs = joined.select("query", "q_len", "_has_exact", "term",
+                          "count").dropDuplicates(["query", "term"])
 
     osa = osa_distance_udf(max_edit_distance)
     # lossless JVM prefilter before the Python DP (OSA ≤ lev ≤ 2·OSA);
@@ -99,19 +108,15 @@ def distributed_lookup(queries: DataFrame, words: DataFrame,
         F.when(F.length("term") == 1, F.col("q_len"))
          .otherwise(osa(F.col("query"), F.col("term"))))
         .where(F.col("distance").isNotNull()
-               & (F.col("distance") <= max_edit_distance))
-        .select("query", "term", "distance", "count"))
+               & (F.col("distance") <= max_edit_distance)))
 
     if verbosity != Verbosity.ALL:
-        # exact-match short circuit: drop fuzzy candidates for known queries
-        scored = scored.join(exact.select("query"), "query", "left_anti")
-        results = scored
-        if include_self:
-            results = results.unionByName(exact)
-    else:
-        results = scored
-        if include_self:
-            results = results.unionByName(exact)
+        # exact-match short circuit: drop fuzzy candidates for known
+        # queries — a column filter thanks to the exactness flag
+        scored = scored.where(~F.col("_has_exact"))
+    results = scored.select("query", "term", "distance", "count")
+    if include_self:
+        results = results.unionByName(exact)
 
     w = Window.partitionBy("query").orderBy(
         F.asc("distance"), F.desc("count"), F.asc("term"))
