@@ -22,6 +22,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..kernels.symspell import SymSpellKernel
@@ -30,8 +31,51 @@ from ..kernels.symspell import SymSpellKernel
 # id(broadcast): every task deserializes a fresh Broadcast object, so an
 # object-address key never hits across tasks, and a reused Python worker
 # could even see a *different* job's Broadcast allocated at the same
-# address (silently returning a kernel built from the wrong dictionaries)
+# address (silently returning a kernel built from the wrong dictionaries).
+# Bounded LRU-ish (insertion-order evict): a reused Python worker can
+# interleave tasks from several concurrent compound jobs; a single-slot
+# cache would make each batch evict the other job's kernel and rebuild
+# the full delete index per batch — a silent performance cliff.
 _KERNEL_CACHE: dict[str, SymSpellKernel] = {}
+_KERNEL_CACHE_SLOTS = 4
+
+# Hard bound on the driver-side dictionary collect.  lookup_compound's
+# dictionary is a *language model* (10^5-10^6 terms for a natural
+# language, reference frequency_dictionary_en_82_765), NOT the corpus
+# vocabulary — at web scale the raw token vocabulary is Heaps-law large
+# and must be cut by count_threshold (sym_spell.rs:45,112-133) before it
+# reaches the driver.  2M terms * ~100B/Row keeps the collect under a
+# few hundred MB of driver heap.
+_MAX_DICT_TERMS = 2_000_000
+
+
+def _cache_put(token: str, kernel: SymSpellKernel) -> None:
+    while len(_KERNEL_CACHE) >= _KERNEL_CACHE_SLOTS:
+        _KERNEL_CACHE.pop(next(iter(_KERNEL_CACHE)))
+    _KERNEL_CACHE[token] = kernel
+
+
+def _collect_dict(df: DataFrame, key_col: str, count_threshold: int,
+                  max_terms: int) -> dict[str, int]:
+    """Bounded driver collect of a (term/bigram, count) dictionary.
+
+    Applies the reference's count_threshold promotion filter
+    (sym_spell.rs:45: terms below the threshold never become dictionary
+    entries) and then refuses — rather than silently truncating, which
+    would change lookup semantics — to collect more than ``max_terms``
+    rows.  The limit(max_terms+1) bounds the transfer itself, so the
+    driver never materializes an unbounded vocabulary even on the
+    failing path."""
+    if count_threshold > 1:
+        df = df.where(F.col("count") >= count_threshold)
+    rows = df.select(key_col, "count").limit(max_terms + 1).collect()
+    if len(rows) > max_terms:
+        raise ValueError(
+            f"dictionary exceeds {max_terms} terms after "
+            f"count_threshold={count_threshold}; raise count_threshold "
+            f"(reference sym_spell.rs:45) — a corpus-derived vocabulary "
+            f"is not a language model")
+    return {r[key_col]: r["count"] for r in rows}
 
 
 def kernel_from_counts(words: dict[str, int], bigrams: dict[str, int] | None,
@@ -52,13 +96,17 @@ def kernel_from_counts(words: dict[str, int], bigrams: dict[str, int] | None,
 def compound_correct(docs: DataFrame, text_col: str, words_df: DataFrame,
                      bigrams_df: DataFrame | None = None,
                      max_edit_distance: int = 2, prefix_length: int = 7,
-                     id_cols: tuple[str, ...] = ()) -> DataFrame:
+                     id_cols: tuple[str, ...] = (),
+                     count_threshold: int = 1,
+                     max_dict_terms: int = _MAX_DICT_TERMS) -> DataFrame:
     """docs(…, text) → (…, corrected, distance, count): exactly one
     correction row per document (lookup_compound always returns 1 item,
-    sym_spell.rs:675)."""
+    sym_spell.rs:675).  The dictionary collect is threshold-filtered and
+    hard-bounded (see _collect_dict)."""
     spark = docs.sparkSession
-    words = {r["term"]: r["count"] for r in words_df.collect()}
-    bigrams = ({r["bigram"]: r["count"] for r in bigrams_df.collect()}
+    words = _collect_dict(words_df, "term", count_threshold, max_dict_terms)
+    bigrams = (_collect_dict(bigrams_df, "bigram", count_threshold,
+                             max_dict_terms)
                if bigrams_df is not None else None)
     bc = spark.sparkContext.broadcast(
         (words, bigrams, max_edit_distance, prefix_length))
@@ -79,8 +127,7 @@ def compound_correct(docs: DataFrame, text_col: str, words_df: DataFrame,
         if kernel is None:
             w, b, med, plen = bc.value
             kernel = kernel_from_counts(w, b, med, plen)
-            _KERNEL_CACHE.clear()
-            _KERNEL_CACHE[cache_token] = kernel
+            _cache_put(cache_token, kernel)
         for pdf in batches:
             res = [kernel.lookup_compound(t, max_edit_distance)[0]
                    if t is not None else None
@@ -98,14 +145,16 @@ def compound_correct(docs: DataFrame, text_col: str, words_df: DataFrame,
 
 def segment_texts(docs: DataFrame, text_col: str, words_df: DataFrame,
                   max_edit_distance: int = 0, prefix_length: int = 7,
-                  id_cols: tuple[str, ...] = ()) -> DataFrame:
+                  id_cols: tuple[str, ...] = (),
+                  count_threshold: int = 1,
+                  max_dict_terms: int = _MAX_DICT_TERMS) -> DataFrame:
     """Distributed word_segmentation (the intended semantics of the
     reference's dead-code sym_spell.rs:692-775 — see the kernel docstring
     for the five transliteration defects repaired): docs(…, text) →
     (…, segmented, corrected, distance).  Same broadcast-dictionary /
     per-executor-index design as compound_correct."""
     spark = docs.sparkSession
-    words = {r["term"]: r["count"] for r in words_df.collect()}
+    words = _collect_dict(words_df, "term", count_threshold, max_dict_terms)
     bc = spark.sparkContext.broadcast(
         (words, max_edit_distance, prefix_length))
     import uuid
@@ -123,8 +172,7 @@ def segment_texts(docs: DataFrame, text_col: str, words_df: DataFrame,
         if kernel is None:
             w, med, plen = bc.value
             kernel = kernel_from_counts(w, None, max(med, 2), plen)
-            _KERNEL_CACHE.clear()
-            _KERNEL_CACHE[cache_token] = kernel
+            _cache_put(cache_token, kernel)
         for pdf in batches:
             segs, cors, dists = [], [], []
             for t in pdf[text_col]:

@@ -1114,17 +1114,27 @@ def _compound_words(spark, sf_dir):
             .where(F.length("term") >= 2))
 
 
+_KNOWN_THRESHOLD = 2  # count_threshold applied on BOTH engines
+
+
 def _q_compound_known(spark, sf_dir):
+    """Exact-path probes under the reference's count_threshold promotion
+    filter (sym_spell.rs:45): the operator drops sub-threshold terms from
+    the dictionary before the bounded driver collect, and the probe set
+    is restricted to promoted terms so every probe stays exact-path; the
+    oracle mirrors the threshold with HAVING count(*) >= t."""
     from .operators.compound import compound_correct
     toks = _tokens(spark, sf_dir)
     words = _compound_words(spark, sf_dir)
-    probes = (words.where(F.col("term").rlike("^[a-z]+$"))
+    probes = (words.where(F.col("term").rlike("^[a-z]+$")
+                          & (F.col("count") >= _KNOWN_THRESHOLD))
               .select(F.col("term").alias("text")))
     ones = (toks.where(F.col("term").rlike("^[a-z]$"))
             .select(F.col("term").alias("text")).distinct())
     docs = probes.unionByName(ones)
     out = compound_correct(docs, "text", words, None, 2, 7,
-                           id_cols=("text",))
+                           id_cols=("text",),
+                           count_threshold=_KNOWN_THRESHOLD)
     return out.select(F.col("text").alias("query"), "corrected",
                       F.col("distance").cast("int").alias("distance"),
                       "count")
@@ -1133,7 +1143,8 @@ def _q_compound_known(spark, sf_dir):
 _O_COMPOUND_KNOWN = f"""
 WITH toks AS ({_SQL_TOKS_NE}),
 words AS (SELECT term, count(*) AS count FROM toks
-          WHERE length(term) >= 2 GROUP BY term)
+          WHERE length(term) >= 2 GROUP BY term
+          HAVING count(*) >= {_KNOWN_THRESHOLD})
 SELECT term AS query, term AS corrected, 0 AS distance,
        CAST(trunc({_N_SYMSPELL!r} * (count / {_N_SYMSPELL!r})) AS BIGINT)
            AS count

@@ -64,6 +64,30 @@ def test_compound_matches_kernel(spark, small_dict):
                           min(want.count, 2**63 - 1)), s
 
 
+def test_compound_dict_collect_is_bounded(spark, small_dict):
+    """The driver-side dictionary collect must refuse unbounded
+    corpus-derived vocabularies (VERDICT r2 #3): count_threshold filters
+    sub-threshold terms (sym_spell.rs:45) and max_dict_terms hard-bounds
+    the transfer."""
+    words, _ = small_dict
+    docs = spark.createDataFrame([Row(doc_id=0, text="the peopl who")])
+    words_df = spark.createDataFrame(
+        [Row(term=t, count=c) for t, c in words.items()])
+    with pytest.raises(ValueError, match="count_threshold"):
+        compound_correct(docs, "text", words_df, None,
+                         id_cols=("doc_id",), max_dict_terms=100)
+    # threshold semantics: dictionary behaves as if sub-threshold terms
+    # were never promoted
+    thr = sorted(words.values())[len(words) // 2]
+    kernel = kernel_from_counts({t: c for t, c in words.items() if c >= thr},
+                                None)
+    out = compound_correct(docs, "text", words_df, None,
+                           id_cols=("doc_id",), count_threshold=thr)
+    want = kernel.lookup_compound("the peopl who", 2)[0]
+    got = out.collect()[0]
+    assert (got["corrected"], got["distance"]) == (want.term, want.distance)
+
+
 @pytest.fixture(scope="module")
 def vectors(spark):
     rng = np.random.RandomState(11)
