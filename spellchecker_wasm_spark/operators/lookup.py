@@ -41,7 +41,8 @@ def distributed_lookup(queries: DataFrame, words: DataFrame,
                        max_edit_distance: int = 2, prefix_length: int = 7,
                        include_unknown: bool = False,
                        include_self: bool = False,
-                       broadcast_words: bool = True) -> DataFrame:
+                       broadcast_words: bool = True,
+                       max_dict_len: int | None = None) -> DataFrame:
     """queries(query) × words(term, count) →
     (query, term, distance, count, rank).
 
@@ -49,14 +50,27 @@ def distributed_lookup(queries: DataFrame, words: DataFrame,
     the right plan for dictionary-vs-corpus spelling (dictionaries are
     ~10^5-10^6 rows; the corpus side is the 10^12 one).  Set False to
     shuffle-join when both sides are huge.
-    """
-    max_dict_len = words.agg(F.max(F.length("term"))).first()[0] or 0
 
+    Plan construction is action-free: when ``max_dict_len`` isn't passed,
+    the dictionary's max term length enters the plan as a broadcast
+    one-row aggregate (evaluated inside the query's own job) instead of
+    an eager ``.first()`` that would block the driver once per build.
+    """
     q = queries.select("query").where(F.col("query").isNotNull()).distinct()
     q = q.withColumn("q_len", F.length("query"))
     # early exits (sym_spell.rs:306-308)
-    eligible = q.where((F.col("q_len") >= max_edit_distance)
-                       & (F.col("q_len") - max_edit_distance <= max_dict_len))
+    if max_dict_len is None:
+        mdl = words.agg(
+            F.coalesce(F.max(F.length("term")), F.lit(0)).alias("_mdl"))
+        eligible = (q.join(F.broadcast(mdl))
+                    .where((F.col("q_len") >= max_edit_distance)
+                           & (F.col("q_len") - max_edit_distance
+                              <= F.col("_mdl")))
+                    .drop("_mdl"))
+    else:
+        eligible = q.where(
+            (F.col("q_len") >= max_edit_distance)
+            & (F.col("q_len") - max_edit_distance <= max_dict_len))
 
     # exact match runs AFTER the length guards (sym_spell.rs:306 precedes
     # :311): a too-short query never emits its self row.  Exactness is

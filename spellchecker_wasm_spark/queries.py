@@ -719,7 +719,8 @@ _LSH_SEED = 7
 def _q_ann_lsh_buckets(spark, sf_dir):
     from .operators.similarity import lsh_buckets
     emb = load(spark, sf_dir, "embeddings")
-    return (lsh_buckets(emb, n_planes=_LSH_PLANES, seed=_LSH_SEED)
+    return (lsh_buckets(emb, n_planes=_LSH_PLANES, seed=_LSH_SEED,
+                        n_dims=_LSH_DIMS)
             .select("vid", "bucket")
             .withColumnRenamed("vid", "vec_id"))
 
@@ -852,7 +853,8 @@ def _q_ann_topk_lsh(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 50)
     res = lsh_bucketed_topk(emb, queries, k=5, n_planes=_LSH_PLANES,
-                            seed=_LSH_SEED, probe_hamming=1)
+                            seed=_LSH_SEED, probe_hamming=1,
+                            n_dims=_LSH_DIMS)
     return res.select("query_id", "neighbor_id",
                       F.col("rank").cast("int").alias("rank"))
 

@@ -346,3 +346,35 @@ def test_similarity_negative_distance_is_null(spark):
         F.col("distance"), F.greatest(F.length("a"), F.length("b")))
         .alias("sim")).collect()[0]
     assert row["sim"] is None
+
+
+def test_plan_construction_is_action_free(spark):
+    """VERDICT r2 #7: building an operator's DataFrame must not trigger a
+    Spark job — the length guard / dims probe belong inside the plan (or
+    arrive as parameters), not as eager driver actions per query build."""
+    from spellchecker_wasm_spark.operators.lookup import distributed_lookup
+    from spellchecker_wasm_spark.operators.similarity import (
+        lsh_bucketed_topk, lsh_buckets)
+
+    words = spark.createDataFrame(
+        [Row(term="alpha", count=10), Row(term="beta", count=5)])
+    queries = spark.createDataFrame([Row(query="alpa"), Row(query="betta")])
+    emb = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(i), 1.0, -1.0]) for i in range(4)])
+
+    sc = spark.sparkContext
+    group = "construction-audit"
+    sc.setJobGroup(group, "plan construction must schedule no jobs")
+    try:
+        dfs = [
+            distributed_lookup(queries, words, Verbosity.TOP, 2, 7,
+                               include_unknown=True, include_self=True),
+            lsh_buckets(emb, n_planes=4, n_dims=3),
+            lsh_bucketed_topk(emb, emb, k=2, n_planes=4, n_dims=3),
+        ]
+        jobs = sc.statusTracker().getJobIdsForGroup(group)
+        assert jobs == [], f"plan construction scheduled jobs: {jobs}"
+    finally:
+        sc.setJobGroup("", "")
+    # the plans still execute correctly once acted on
+    assert all(df.count() >= 0 for df in dfs)
