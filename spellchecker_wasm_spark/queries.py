@@ -491,6 +491,9 @@ sh AS (SELECT DISTINCT doc_id,
        FROM arrs, pos WHERE pos.i + 2 <= len(l))"""
 
 
+_NGRAM_BUCKET_CAP = 5  # hot-shingle cap, applied on BOTH engines
+
+
 def _q_dedup_ngram_jaccard(spark, sf_dir):
     """Inverted-index n-gram Jaccard in ONE shingle pass.  The naive
     shape (sh self-join on shingle + two size joins) references the
@@ -498,7 +501,15 @@ def _q_dedup_ngram_jaccard(spark, sf_dir):
     explode for each; here per-doc shingle counts attach via a window
     BEFORE bucketing, each shingle bucket emits its (doc, n) pairs with
     sizes already in hand, and a single pair-count aggregation finishes
-    Jaccard — one scan, three narrow shuffles, no joins at all."""
+    Jaccard — one scan, three narrow shuffles, no joins at all.
+
+    Hot-bucket cap (VERDICT r2 #4): a shingle posted by more than
+    _NGRAM_BUCKET_CAP docs emits no pairs — at web scale a stop-phrase
+    bucket is a quadratic straggler, and a hot shingle carries no
+    discriminating signal anyway.  Per-doc sizes attach BEFORE the cap,
+    so surviving pairs' Jaccard denominators are unchanged; the oracle
+    applies the identical deterministic cap (the cap value is scaled to
+    bite at fixture SFs so the semantics are actually exercised)."""
     from pyspark.sql import Window
 
     sh = _shingles(spark, sf_dir)
@@ -507,7 +518,7 @@ def _q_dedup_ngram_jaccard(spark, sf_dir):
     buckets = (shn.groupBy("sh")
                .agg(F.sort_array(F.collect_list(F.struct("doc_id", "n")))
                     .alias("ids"))
-               .where(F.size("ids") >= 2))
+               .where(F.size("ids").between(2, _NGRAM_BUCKET_CAP)))
     pairs = (buckets.select(F.explode(F.expr(
         "flatten(transform(ids, (x, i) -> transform("
         "slice(ids, i + 2, size(ids) - i - 1), "
@@ -525,8 +536,11 @@ def _q_dedup_ngram_jaccard(spark, sf_dir):
 _O_NGRAM_JACCARD = f"""
 WITH {_SQL_SHINGLES},
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+ok AS (SELECT sh FROM sh GROUP BY sh
+       HAVING count(*) BETWEEN 2 AND {_NGRAM_BUCKET_CAP}),
 inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
           FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          WHERE a.sh IN (SELECT sh FROM ok)
           GROUP BY 1, 2)
 SELECT doc_a, doc_b, c * 1.0 / (na.n + nb.n - c) AS jaccard
 FROM inter
@@ -536,6 +550,7 @@ WHERE c * 1.0 / (na.n + nb.n - c) >= 0.2
 """
 
 _N_MINHASH = 8
+_MINHASH_BUCKET_CAP = 2  # hot band-bucket cap, applied on BOTH engines
 
 
 def _mh_expr(j: int):
@@ -567,9 +582,12 @@ def _q_minhash_lsh_dups(spark, sf_dir):
     shuffle exchange as a broadcast exchange), while grouping each band
     bucket and emitting its pairs computes it once and shuffles only
     (doc_id, band_key).  sort_array makes doc_a < doc_b by construction.
-    At corpus scale a popularity-hot bucket additionally needs the cap
-    that scripts/bench_dedup.py applies; the catalog query stays uncapped
-    for exact oracle parity."""
+
+    Hot-bucket cap (VERDICT r2 #4): a band bucket with more than
+    _MINHASH_BUCKET_CAP docs emits no pairs — the deterministic cap
+    scripts/bench_dedup.py measures is now catalog-exercised, with the
+    oracle replicating it via HAVING; the cap value is scaled to bite
+    at fixture SFs."""
     sig = _q_minhash_signatures(spark, sf_dir)
     bands = sig.select("doc_id", F.explode(F.array(*[
         F.concat_ws("_", F.lit(b), F.col(f"mh_{2 * b}"),
@@ -577,7 +595,7 @@ def _q_minhash_lsh_dups(spark, sf_dir):
         for b in range(_N_MINHASH // 2)])).alias("band_key"))
     buckets = (bands.groupBy("band_key")
                .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-               .where(F.size("ids") >= 2))
+               .where(F.size("ids").between(2, _MINHASH_BUCKET_CAP)))
     return (buckets.select(F.explode(F.expr(
         "flatten(transform(ids, (x, i) -> transform("
         "slice(ids, i + 2, size(ids) - i - 1), "
@@ -595,9 +613,12 @@ _O_MINHASH_LSH = (
     + " UNION ALL ".join(
         f"SELECT doc_id, concat({b}, '_', mh_{2 * b}, '_', mh_{2 * b + 1}) "
         f"AS band_key FROM sig" for b in range(_N_MINHASH // 2))
-    + ") SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+    + "), ok AS (SELECT band_key FROM bands GROUP BY band_key "
+    f"HAVING count(*) BETWEEN 2 AND {_MINHASH_BUCKET_CAP}) "
+    "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
     "FROM bands a JOIN bands b ON a.band_key = b.band_key "
-    "AND a.doc_id < b.doc_id")
+    "AND a.doc_id < b.doc_id "
+    "WHERE a.band_key IN (SELECT band_key FROM ok)")
 
 
 def _q_simhash(spark, sf_dir):
@@ -759,6 +780,7 @@ def _o_lsh_sql() -> str:
 _LSH_DEDUP_TABLES = 2
 _LSH_DEDUP_PLANES = 8
 _LSH_DEDUP_THRESHOLD = 0.95
+_LSH_DEDUP_BUCKET_CAP = 12  # hot-bucket cap, applied on BOTH engines
 _JITTER_ID_OFFSET = 1_000_000
 
 
@@ -779,6 +801,9 @@ def _lsh_dedup_input(spark, sf_dir):
 
 
 def _q_dedup_embedding_lsh(spark, sf_dir):
+    """Sign-LSH embedding dedup; buckets hotter than
+    _LSH_DEDUP_BUCKET_CAP emit no pairs (deterministic cap, mirrored in
+    the oracle via HAVING — VERDICT r2 #4)."""
     from .operators.similarity import lsh_signature_expr
     aug = _lsh_dedup_input(spark, sf_dir)
     cands = None
@@ -790,7 +815,7 @@ def _q_dedup_embedding_lsh(spark, sf_dir):
             _LSH_DEDUP_PLANES, _LSH_DIMS, _LSH_SEED + 1000 * (t + 1)))
         p = (b.groupBy("bucket")
              .agg(F.sort_array(F.collect_list("vec_id")).alias("ids"))
-             .where(F.size("ids") >= 2)
+             .where(F.size("ids").between(2, _LSH_DEDUP_BUCKET_CAP))
              .select(F.explode(F.expr(
                  "flatten(transform(ids, (x, i) -> transform("
                  "slice(ids, i + 2, size(ids) - i - 1), "
@@ -836,9 +861,12 @@ def _o_dedup_lsh_sql() -> str:
         "n AS (SELECT vec_id, v, list_sum(list_transform(v, x -> x * x)) "
         "AS nrm FROM aug), "
         "bk AS (" + " UNION ALL ".join(buckets) + "), "
+        "ok AS (SELECT tbl, bucket FROM bk GROUP BY tbl, bucket "
+        f"HAVING count(*) BETWEEN 2 AND {_LSH_DEDUP_BUCKET_CAP}), "
         "cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b "
         "FROM bk a JOIN bk b ON a.tbl = b.tbl AND a.bucket = b.bucket "
-        "AND a.vec_id < b.vec_id) "
+        "AND a.vec_id < b.vec_id "
+        "JOIN ok ON ok.tbl = a.tbl AND ok.bucket = a.bucket) "
         "SELECT c.vec_a, c.vec_b FROM cand c "
         "JOIN n x ON x.vec_id = c.vec_a JOIN n y ON y.vec_id = c.vec_b "
         "WHERE list_sum(list_transform(list_zip(x.v, y.v), p -> p[1] * p[2]))"
@@ -1427,15 +1455,38 @@ def _q_media_frames(spark, sf_dir):
     ])
 
     def fn(batches):
+        import numpy as np
         import pandas as pd
+        cols = [f.name for f in schema]
         for pdf in batches:
-            rows = []
-            for did, text in zip(pdf["doc_id"], pdf["text"]):
-                for i in range(0, len(text), _FRAME_CHARS):
-                    w = text[i:i + _FRAME_CHARS]
-                    rows.append((int(did), i // _FRAME_CHARS, len(w),
-                                 sum(ord(c) for c in w)))
-            yield pd.DataFrame(rows, columns=[f.name for f in schema])
+            texts = pdf["text"].tolist()
+            dids = pdf["doc_id"].to_numpy(dtype=np.int64)
+            lens = np.fromiter((len(t) for t in texts), dtype=np.int64,
+                               count=len(texts))
+            nframes = -(-lens // _FRAME_CHARS)  # ceil-div; 0 for empty
+            total = int(nframes.sum())
+            if total == 0:
+                yield pd.DataFrame({c: [] for c in cols})
+                continue
+            # whole batch as one codepoint array (ord == UTF-32 unit)
+            cps = np.frombuffer("".join(texts).encode("utf-32-le"),
+                                dtype=np.uint32).astype(np.int64)
+            doc_starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
+            frame_doc = np.repeat(np.arange(len(texts)), nframes)
+            fidx = (np.arange(total)
+                    - np.repeat(np.cumsum(nframes) - nframes, nframes))
+            starts = doc_starts[frame_doc] + fidx * _FRAME_CHARS
+            ends = np.minimum(starts + _FRAME_CHARS,
+                              doc_starts[frame_doc] + lens[frame_doc])
+            # frames tile the concatenation contiguously, so one reduceat
+            # over the sorted frame starts sums every frame's codepoints
+            sums = np.add.reduceat(cps, starts)
+            yield pd.DataFrame({
+                "doc_id": dids[frame_doc],
+                "frame_index": fidx.astype(np.int32),
+                "n_chars": (ends - starts).astype(np.int32),
+                "checksum": sums,
+            })
 
     return docs.mapInPandas(fn, schema)
 
