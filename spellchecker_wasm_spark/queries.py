@@ -1616,6 +1616,95 @@ WHERE rnk <= 3
 """
 
 
+# ---------------------------------------------------------------------------
+# Streaming batch-equivalence under the driver oracle (VERDICT r2 #6):
+# the harness is batch-parquet, so these entries replay the fixture as a
+# bounded file stream (two time-ordered micro-batches), run the streaming
+# operator to completion, and return the final state — which provably
+# equals the batch query the existing oracle SQL describes.
+# ---------------------------------------------------------------------------
+
+
+def _stream_two_file_source(spark, sf_dir, table: str, order_col: str) -> str:
+    """Materialize <table> as two parquet files split at the order_col
+    median, file2's mtime bumped so FileStreamSource replays them in
+    order — a deterministic two-micro-batch rendition of the fixture
+    that preserves per-key time order across batches."""
+    import glob
+    import os
+    import tempfile
+    import time
+
+    src = load(spark, sf_dir, table)
+    d = tempfile.mkdtemp(prefix=f"swspark_stream_{table}_")
+    oc = F.col(order_col)
+    if dict(src.dtypes)[order_col].startswith("timestamp"):
+        oc = oc.cast("timestamp")  # NTZ → zoned before the numeric cast
+    oc = oc.cast("double")
+    med = src.select(F.median(oc).alias("m")).first()["m"]
+    (src.where(oc <= med)
+     .coalesce(1).write.mode("overwrite").parquet(d + "/f1"))
+    (src.where(oc > med)
+     .coalesce(1).write.mode("overwrite").parquet(d + "/f2"))
+    later = time.time() + 60
+    for p in glob.glob(d + "/f2/*.parquet"):
+        os.utime(p, (later, later))
+    return d
+
+
+def _q_stream_dedup_exact(spark, sf_dir):
+    """dedup_exact as a STREAMING aggregation: incremental
+    (min(doc_id), count) state per content hash maintained across
+    micro-batches (complete-mode stateful agg — the streaming form a
+    continuously-ingesting pipeline runs); final state == the batch
+    groupBy, so the existing dedup_exact oracle applies verbatim.  The
+    first-arrival row-dedup variant (streaming/dedup.stream_exact_dedup,
+    dropDuplicatesWithinWatermark) stays pytest-covered — its kept-row
+    identity is arrival-order-defined, which no value-hash oracle can
+    pin."""
+    import uuid
+
+    schema = load(spark, sf_dir, "documents").schema
+    path = _stream_two_file_source(spark, sf_dir, "documents", "doc_id")
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(path + "/*"))
+    agg = (stream.where(F.col("text").isNotNull())
+           .groupBy(F.md5("text").alias("text_md5"))
+           .agg(F.min("doc_id").alias("keep_id"),
+                F.count(F.lit(1)).alias("n_copies")))
+    name = "stream_dedup_" + uuid.uuid4().hex[:8]
+    q = (agg.writeStream.format("memory").queryName(name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+def _q_stream_event_sessions(spark, sf_dir):
+    """event_sessions via the custom stateful streaming operator
+    (streaming/sessions.sessionize_stream, applyInPandasWithState):
+    per-user (last_ts, n_events, n_sessions) state carried across two
+    time-ordered micro-batches; the last update per user is the final
+    state, provably equal to the batch window computation because the
+    ts-median split preserves per-user event order across batches
+    (counts are monotone, so max == last)."""
+    import uuid
+
+    from .streaming.sessions import sessionize_stream
+
+    schema = load(spark, sf_dir, "events").schema
+    path = _stream_two_file_source(spark, sf_dir, "events", "ts")
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(path + "/*"))
+    out = sessionize_stream(stream, gap_seconds=1800, output_mode="update")
+    name = "stream_sess_" + uuid.uuid4().hex[:8]
+    q = (out.writeStream.format("memory").queryName(name)
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return (spark.table(name).groupBy("user_id")
+            .agg(F.max("n_events").alias("n_events"),
+                 F.max("n_sessions").alias("n_sessions")))
+
+
 CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "word_counts": (_q_word_counts, _O_WORD_COUNTS),
     "bigram_counts": (_q_bigram_counts, _O_BIGRAM_COUNTS),
@@ -1659,5 +1748,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "tpch_q1": (_q_tpch_q1, _O_TPCH_Q1),
     "tpch_q3": (_q_tpch_q3, _O_TPCH_Q3),
     "event_sessions": (_q_event_sessions, _O_EVENT_SESSIONS),
+    "stream_dedup_exact": (_q_stream_dedup_exact, _O_DEDUP_EXACT),
+    "stream_event_sessions": (_q_stream_event_sessions, _O_EVENT_SESSIONS),
     "event_type_topk": (_q_event_type_topk, _O_EVENT_TYPE_TOPK),
 }

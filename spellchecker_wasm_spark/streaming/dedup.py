@@ -37,14 +37,31 @@ def stream_exact_dedup(docs: DataFrame, content_cols: Sequence[str],
                        watermark: str = "1 hour") -> DataFrame:
     """Drop records whose content fingerprint was already seen within the
     watermark horizon.  Works on a readStream source (stateful) and on a
-    static DataFrame (plain dropDuplicates on the same key — same plan
-    family, used by tests as the oracle side)."""
+    static DataFrame (used by tests as the oracle side).
+
+    Batch-side determinism contract: the streaming path keeps the
+    first-ARRIVAL row per key (arrival order is real but not a column),
+    so the batch path pins a deterministic stand-in — the minimum row by
+    (ts_col, then every other orderable column).  For byte-identical
+    duplicates the two agree on content by definition; for same-content
+    rows differing in metadata (ids) the batch choice is the stable one
+    a resumable pipeline needs (dropDuplicates alone keeps a
+    partition-order-dependent row)."""
+    from pyspark.sql import Window
+
     df = docs
     if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
         # watermarks require zoned TIMESTAMP; session tz is pinned to UTC
         df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     keyed = df.withColumn("content_key", content_fingerprint(content_cols))
     if not keyed.isStreaming:
-        return keyed.dropDuplicates(["content_key"])
+        complex_prefixes = ("array", "map", "struct", "binary")
+        tiebreak = [c for c, t in keyed.dtypes
+                    if c not in (ts_col, "content_key")
+                    and not t.startswith(complex_prefixes)]
+        w = (Window.partitionBy("content_key")
+             .orderBy(ts_col, *sorted(tiebreak)))
+        return (keyed.withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") == 1).drop("_rn"))
     return (keyed.withWatermark(ts_col, watermark)
             .dropDuplicatesWithinWatermark(["content_key"]))
