@@ -92,8 +92,15 @@ def connected_components(edges: DataFrame, src_col: str = "id_a",
     shuffle stages regardless of size, which dominates wall clock on small
     frontiers (measured: a 130k-edge graph spent ~8s in rounds vs <1s
     collected).  At 10^12-page scale the early rounds run distributed and
-    the finisher only ever sees the shrunken star roots; set the threshold
-    by driver memory (16 bytes/edge + dict overhead).
+    the finisher only ever sees the shrunken star roots.
+
+    Driver memory at the threshold: the frontier arrives as TWO int64
+    pandas columns over Arrow (~16 B/edge resident, ~40 B/edge transient
+    during the Arrow batch handoff — NOT per-edge Row objects), plus the
+    union-find dict at ~90 B/node for the nodes the frontier touches; the
+    2M default is ~80 MB peak + ≤ ~360 MB dict worst-case, comfortable on
+    any driver that runs Spark at all.  Scale the threshold linearly with
+    driver heap if you raise it.
     """
     spark = edges.sparkSession
     node_type = edges.schema[src_col].dataType
@@ -115,8 +122,10 @@ def connected_components(edges: DataFrame, src_col: str = "id_a",
             n_edges = e.count()
         first_round = False
         if n_edges <= driver_finish_threshold:
+            # Arrow collect: two flat int64 columns, not 100+B Row objects
+            pdf = e.toPandas()
             comp = _driver_union_find(
-                (r["src"], r["dst"]) for r in e.collect())
+                zip(pdf["src"].tolist(), pdf["dst"].tolist()))
             schema = T.StructType([T.StructField("node", node_type),
                                    T.StructField("component", node_type)])
             assign = spark.createDataFrame(list(comp.items()), schema)

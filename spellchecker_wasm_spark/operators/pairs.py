@@ -130,11 +130,16 @@ def candidate_pairs_prefix(toks: DataFrame, id_col: str = "page_id",
 
     Skew cap, with logged drop accounting (returned, never silent):
     delete keys whose PAGE-WEIGHTED posting (Σ over posting prefixes of
-    that prefix's page count) exceeds ``max_block_size`` are dropped —
-    exactly the flat design's cap_hot_blocks semantics, since a flat key's
-    posting count is that same sum.  A prefix pair (including a prefix
-    with itself) survives iff it shares at least one surviving key —
-    byte-identical candidate sets to the capped flat path (asserted in
+    that prefix's page count) exceeds ``max_block_size`` are dropped.
+    The weight is an UPPER BOUND on the flat design's cap_hot_blocks
+    posting count (a page holding two distinct prefixes that share a key
+    counts twice here, once there — see
+    pipeline/linkage.hot_keys_vocab), so the cap is conservative: a key
+    is never kept past the threshold, at worst dropped slightly early.
+    A prefix pair (including a prefix with itself) survives iff it
+    shares at least one surviving key — candidate sets match the capped
+    flat path whenever no shared-key collision straddles the cap
+    boundary (asserted on such fixtures in
     tests/test_pipeline_linkage.py).
     """
     from ..functions.delete_expr import delete_keys_array

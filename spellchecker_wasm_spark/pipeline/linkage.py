@@ -96,11 +96,22 @@ def pages_to_blocks(pages: DataFrame, config: "LinkageConfig") -> DataFrame:
 
 def hot_keys_vocab(toks: DataFrame, config: "LinkageConfig") -> DataFrame:
     """Hot blocking keys computed at the VOCABULARY level: page-weighted
-    key posting size = Σ over posting prefixes of that prefix's page count
-    — the same quantity cap_hot_blocks counts on the exploded page-level
-    table, at ~1/3 the rows (distinct prefixes × fan-out instead of pages
-    × fan-out) and, crucially, without materializing or re-scanning the
-    page-level explode at all.  Returns (block_key:long) hot-key rows.
+    key weight = Σ over posting prefixes of that prefix's page count, at
+    ~1/3 the rows of the page-level explode (distinct prefixes × fan-out
+    instead of pages × fan-out) and without materializing or re-scanning
+    that explode at all.  Returns (block_key:long) hot-key rows.
+
+    The weight is an UPPER BOUND on the page-level posting size
+    cap_hot_blocks counts, not always equal to it: a page whose title
+    holds two distinct prefixes that share a delete key contributes twice
+    here but once there.  For a hot-key CAP the bound errs exactly the
+    right way — a key can only be dropped slightly *before* its true
+    posting size crosses the threshold, never kept past it, so candidate
+    recall loss is bounded by the flat path's own cap.  (Exact distinct
+    page counts would need the (page, key) explode back — the cost this
+    path exists to avoid; the flat/vocab equivalence test in
+    tests/test_pipeline_linkage.py holds on fixtures where no shared-key
+    collision straddles the cap boundary, the common case by far.)
 
     ``toks``: (…, prefix) one row per distinct (page, prefix).
     """
