@@ -138,10 +138,120 @@ def _null_distance(s1: str, s2: str, max_distance: int) -> int | None:
     return len(s1) if len(s1) <= max_distance else None
 
 
+def _first_mismatch(a: str, b: str, n: int) -> int:
+    """Largest p <= n with a[:p] == b[:p], via C-level slice equality
+    (binary search) instead of a per-char Python loop."""
+    lo, hi = 0, n
+    while lo < hi:
+        mid = (lo + hi + 1) // 2
+        if a[:mid] == b[:mid]:
+            lo = mid
+        else:
+            hi = mid - 1
+    return lo
+
+
+def _osa_le1(s1: str, s2: str) -> int | None:
+    """Exact OSA distance when <= 1, else None.  Callers guarantee
+    s1 != s2, len(s1) <= len(s2), len diff <= 1, both non-empty.
+    One edit is structurally one of: trailing insertion, interior
+    insertion, substitution, adjacent transposition — each a pair of
+    C-level slice comparisons around the first mismatch."""
+    l1 = len(s1)
+    l2 = len(s2)
+    p = _first_mismatch(s1, s2, l1)
+    if p == l1:                      # s1 is a proper prefix of s2
+        return 1                     # (diff == 1 guaranteed: s1 != s2)
+    if l2 > l1:                      # insertion of s2[p]
+        return 1 if s1[p:] == s2[p + 1:] else None
+    if s1[p + 1:] == s2[p + 1:]:     # substitution at p
+        return 1
+    if (p + 1 < l1 and s1[p] == s2[p + 1] and s1[p + 1] == s2[p]
+            and s1[p + 2:] == s2[p + 2:]):
+        return 1                     # adjacent transposition at p
+    return None
+
+
+def _osa_le2(s1: str, s2: str) -> int | None:
+    """Exact OSA distance when <= 2, else None.  Callers guarantee
+    s1 != s2, len(s1) <= len(s2), len diff <= 2, both non-empty.
+
+    Expands the OSA DP's four transitions once at the first mismatch
+    (where every optimal alignment must spend an edit — the same
+    common-prefix lemma helpers.rs:37-61 applies at the outer level) and
+    finishes each branch with the <=1 checker.  Exhaustively verified
+    against the reference DP over all pairs of short strings and
+    property-tested on random ones (tests/test_kernel_distance.py)."""
+    l1 = len(s1)
+    l2 = len(s2)
+    p = _first_mismatch(s1, s2, l1)
+    if p == l1:                      # proper prefix: trailing insertions
+        return l2 - l1
+    diff = l2 - l1
+    r1 = s1[p:]
+    r2 = s2[p:]
+    if diff == 2:                    # only two insertions can fit
+        return 2 if _osa_le1(r1, r2[1:]) == 1 else None
+    # insertion branch (skip s2[p])
+    if diff == 1 and r1 == r2[1:]:
+        return 1
+    best = None
+    a = r1[1:]
+    if diff == 1:
+        d = _osa_le1(a, r2[1:]) if a != r2[1:] else 0   # substitution
+        if d is not None:
+            best = d + 1
+        if best != 1 and (len(r1) > 1 and len(r2) > 1 and r1[0] == r2[1]
+                          and r1[1] == r2[0]):          # transposition
+            t1, t2 = r1[2:], r2[2:]
+            d = 0 if t1 == t2 else _osa_le1(t1, t2)
+            if d is not None and (best is None or d + 1 < best):
+                best = d + 1
+        if best != 1:                                   # insertion + 1 more
+            b2 = r2[1:]
+            d = _osa_le1(r1, b2) if r1 != b2 else 0
+            if d is not None and (best is None or d + 1 < best):
+                best = d + 1
+        if best != 1 and len(r1) > 1:                   # deletion + 2 ins?
+            # deletion raises the length gap to 2: remainder needs 2 more
+            # edits — over budget; skip (cannot yield <= 2)
+            pass
+        return best
+    # diff == 0
+    if r1[1:] == r2[1:]:                                # single substitution
+        return 1
+    if (len(r1) > 1 and r1[0] == r2[1] and r1[1] == r2[0]
+            and r1[2:] == r2[2:]):                      # single transposition
+        return 1
+    # two-edit combinations
+    d = _osa_le1(r1[1:], r2[1:]) if r1[1:] != r2[1:] else 0   # sub + 1
+    if d is not None:
+        best = d + 1
+    if best != 2 and len(r1) > 1 and r1[0] == r2[1] and r1[1] == r2[0]:
+        t1, t2 = r1[2:], r2[2:]                          # trans + 1
+        d = 0 if t1 == t2 else _osa_le1(t1, t2)
+        if d is not None and (best is None or d + 1 < best):
+            best = d + 1
+    if best != 2:
+        d = _osa_le1(r1[1:], r2)                         # del + ins
+        if d is not None and (best is None or d + 1 < best):
+            best = d + 1
+    if best != 2:
+        d = _osa_le1(r2[1:], r1)                         # ins + del
+        if d is not None and (best is None or d + 1 < best):
+            best = d + 1
+    return best
+
+
 def osa_distance_max(s1: str, s2: str, max_distance: int) -> int | None:
     """Bounded OSA distance; None when > max_distance
     (damerau_osa.rs:308-339 ``distance2``).
-    """
+
+    max_distance 1 and 2 — the only bounds SymSpell's verification ever
+    uses — dispatch to slice-based exact checkers (~C-speed string
+    compares instead of the interpreted banded DP); other bounds run the
+    reference-shaped DP.  All paths agree exactly (exhaustive +
+    property tests)."""
     if not s1 or not s2:
         return _null_distance(s1, s2, max_distance)
     if max_distance <= 0:
@@ -150,6 +260,12 @@ def osa_distance_max(s1: str, s2: str, max_distance: int) -> int | None:
         s1, s2 = s2, s1
     if len(s2) - len(s1) > max_distance:
         return None
+    if s1 == s2:
+        return 0
+    if max_distance == 1:
+        return _osa_le1(s1, s2)
+    if max_distance == 2:
+        return _osa_le2(s1, s2)
     len1, len2, start = prefix_suffix_prep(s1, s2)
     if len1 == 0:
         return len2 if len2 <= max_distance else None

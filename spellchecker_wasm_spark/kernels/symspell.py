@@ -24,8 +24,9 @@ Deliberate reference quirks reproduced (each cited):
 from __future__ import annotations
 
 import re
-from dataclasses import dataclass
+from dataclasses import dataclass, replace
 from enum import IntEnum
+from itertools import islice
 
 from .deletes import edits, generate_deletes
 from .distance import osa_distance_max
@@ -44,9 +45,10 @@ class Verbosity(IntEnum):
     ALL = 2
 
 
-@dataclass
+@dataclass(slots=True)
 class SuggestItem:
-    """suggested_item.rs:5-9."""
+    """suggested_item.rs:5-9 (slots: these are allocated per evaluated
+    candidate in the lookup hot loop)."""
 
     term: str = ""
     distance: int = 0
@@ -102,6 +104,13 @@ class SymSpellKernel:
         self.below_threshold_words: dict[str, int] = {}
         self.bigrams: dict[str, int] = {}
         self.bigram_count_min = _USIZE_MAX
+        # memoized Top-verbosity lookups for the compound/segmentation hot
+        # path: lookup() is a pure function of (term, med) once the
+        # dictionary is frozen, and corpus tokens are Zipf-distributed, so
+        # the cache turns the dominant per-token cost into a dict probe.
+        # Bounded (drop-oldest-half) and invalidated on dictionary writes.
+        self._top_cache: dict[tuple[str, int], list[SuggestItem]] = {}
+        self._top_cache_cap = 200_000
 
     # ------------------------------------------------------------------
     # ingestion (sym_spell.rs:109-187)
@@ -120,7 +129,206 @@ class SymSpellKernel:
         if count < self.bigram_count_min:
             self.bigram_count_min = count
 
+    def _lookup_top_memo(self, term: str,
+                         max_edit_distance: int) -> list[SuggestItem]:
+        """Memoized ``lookup(term, Top, med, False, True)`` — the exact
+        call shape every lookup_compound / word_segmentation site uses.
+        Returns per-item COPIES: lookup_compound mutates the winning
+        SuggestItem in place (``sc.distance += 1``, sym_spell.rs:558), so
+        handing out the cached objects would corrupt later hits."""
+        key = (term, max_edit_distance)
+        hit = self._top_cache.get(key)
+        if hit is None:
+            hit = self._lookup_top_fast(term, max_edit_distance)
+            if len(self._top_cache) >= self._top_cache_cap:
+                for k in list(islice(iter(self._top_cache),
+                                     self._top_cache_cap // 2)):
+                    del self._top_cache[k]
+            self._top_cache[key] = hit
+        return [replace(s) for s in hit]
+
+    # ------------------------------------------------------------------
+    # batched Top lookup (the compound hot path, VERDICT r2 #5)
+    # ------------------------------------------------------------------
+    def _collect_top_events(self, input_term: str, med: int):
+        """Run lookup()'s candidate BFS with the shrinking bound FROZEN at
+        ``med`` and the per-pair DP deferred: returns the ordered
+        suggestion events + the pairs needing a distance.
+
+        Exactness: max_edit_distance2 only ever shrinks from med, so every
+        gate here (windows, break, expansion) with the frozen bound admits
+        a SUPERSET of the original encounters in the same order — the
+        same pruning lemma SURVEY.md §2.5 sanctions for the distributed
+        lookup guarantees the original never evaluates a suggestion this
+        pass misses, and _select_top re-applies the shrinking bound over
+        the events so the extras drop exactly where the original would
+        have pruned them.  _delete_in_suggestion_prefix is skipped: with
+        string-keyed postings it only ever rejects hash collisions (see
+        its docstring) — property-tested against lookup() regardless."""
+        input_len = len(input_term)
+        events: list[tuple[str, int | None]] = []
+        dp_terms: list[str] = []
+        considered_sugg = {input_term}
+        considered_del: set[str] = set()
+        candidates: list[str] = []
+        input_prefix_len = input_len
+        if input_prefix_len > self.prefix_length:
+            input_prefix_len = self.prefix_length
+            candidates.append(input_term[:input_prefix_len])
+        else:
+            candidates.append(input_term)
+        ptr = 0
+        while ptr < len(candidates):
+            candidate = candidates[ptr]
+            ptr += 1
+            candidate_len = len(candidate)
+            len_diff = input_prefix_len - candidate_len
+            if len_diff > med:
+                break
+            for suggestion in self.deletes.get(candidate, ()):
+                if suggestion == input_term:
+                    continue
+                sl = len(suggestion)
+                if ((sl > input_len and sl - input_len > med)
+                        or sl < candidate_len
+                        or (sl == candidate_len and suggestion != candidate)):
+                    continue
+                spl = min(sl, self.prefix_length)
+                if spl > input_prefix_len and spl - candidate_len > med:
+                    continue
+                if candidate_len == 0:
+                    distance = max(input_len, sl)
+                    if distance > med or suggestion in considered_sugg:
+                        continue
+                    considered_sugg.add(suggestion)
+                    events.append((suggestion, distance))
+                elif sl == 1:
+                    # inverted-contains quirk; NO dedup (matches lookup())
+                    events.append((suggestion,
+                                   input_len if suggestion[0] in input_term
+                                   else input_len - 1))
+                elif (self.prefix_length - med == candidate_len
+                      and (input_len if input_len < sl else sl)
+                      > self.prefix_length
+                      and self._should_skip_dp(suggestion, input_term,
+                                               candidate_len, sl,
+                                               input_len, med)):
+                    continue
+                else:
+                    if suggestion in considered_sugg:
+                        continue
+                    considered_sugg.add(suggestion)
+                    events.append((suggestion, None))
+                    dp_terms.append(suggestion)
+            if len_diff < med and candidate_len <= self.prefix_length:
+                for i in range(candidate_len):
+                    delete = candidate[:i] + candidate[i + 1:]
+                    if delete not in considered_del:
+                        considered_del.add(delete)
+                        candidates.append(delete)
+        return events, dp_terms
+
+    def _select_top(self, med: int, events, dist: dict[str, int]):
+        """Replay lookup()'s Verbosity::Top selection (sym_spell.rs:
+        478-484 via the kernel's own loop) over the ordered events."""
+        med2 = med
+        best: SuggestItem | None = None
+        for sugg, d in events:
+            if d is None:
+                d = dist.get(sugg, -1)
+                if d < 0:
+                    continue
+            if d > med2:
+                continue
+            c = self.words.get(sugg, 0)
+            if best is None or d < med2 or c > best.count:
+                med2 = d
+                best = SuggestItem(sugg, d, c)
+        return [best] if best is not None else []
+
+    def _lookup_top_fast(self, term: str, med: int) -> list[SuggestItem]:
+        """Tiered Top lookup, result-identical to
+        ``lookup(term, Top, med, False, True)`` (property-tested).
+
+        Tier 1 collects the bound-1 delete neighborhood only (8 candidate
+        keys instead of 29, band-1 DP): if it yields a winner at distance
+        <= 1, the pruning lemma guarantees every true distance<=1
+        candidate was seen, and no distance-2 event can beat or tie it —
+        done, at a fraction of the full-BFS cost.  If not, then NO
+        distance<=1 candidate exists at all, so the original's shrinking
+        bound provably never drops below 2 and the unmodified scalar
+        lookup IS the optimal evaluation — fall through to it.
+
+        Gated to med == 2 and len(term) >= 3: the 1-char inverted-contains
+        quirk (sym_spell.rs:430-436) is anti-metric, but its distance is
+        >= len(term) - 1 >= 2 there, so it can never hide a tier-1 win."""
+        input_len = len(term)
+        if med != 2 or input_len < 3:
+            return self.lookup(term, Verbosity.TOP, med, False, True)
+        if input_len - med > self.max_dictionary_word_length:
+            return []
+        if term in self.words:
+            return [SuggestItem(term, 0, self.words[term])]
+        events, dp_terms = self._collect_top_events(term, 1)
+        if events:
+            dist = {}
+            for s in dp_terms:
+                d = osa_distance_max(term, s, 1)
+                dist[s] = -1 if d is None else d
+            res = self._select_top(med, events, dist)
+            if res and res[0].distance <= 1:
+                return res
+        return self.lookup(term, Verbosity.TOP, med, False, True)
+
+    def lookup_top_batch(self, terms, max_edit_distance: int) -> None:
+        """Fill the Top-lookup memo for every distinct term using ONE
+        numpy osa_batch over all (term, candidate) DP pairs — the
+        vectorized form of the per-token lookups lookup_compound makes
+        (result-identical to lookup(term, Top, med, False, True);
+        property-tested in tests/test_kernel_symspell_goldens.py)."""
+        from .distance_np import osa_batch
+
+        pend = []
+        pa: list[str] = []
+        pb: list[str] = []
+        for term in dict.fromkeys(terms):
+            key = (term, max_edit_distance)
+            if key in self._top_cache:
+                continue
+            input_len = len(term)
+            if (input_len < max_edit_distance
+                    or input_len - max_edit_distance
+                    > self.max_dictionary_word_length):
+                self._top_cache[key] = []
+                continue
+            if term in self.words:
+                self._top_cache[key] = [SuggestItem(term, 0,
+                                                    self.words[term])]
+                continue
+            if max_edit_distance == 0:
+                self._top_cache[key] = []
+                continue
+            events, dp_terms = self._collect_top_events(term,
+                                                        max_edit_distance)
+            pend.append((term, events, dp_terms))
+            pa.extend([term] * len(dp_terms))
+            pb.extend(dp_terms)
+        ds = osa_batch(pa, pb, max_edit_distance) if pa else []
+        pos = 0
+        for term, events, dp_terms in pend:
+            dist = {}
+            for s in dp_terms:
+                dist[s] = int(ds[pos])
+                pos += 1
+            if len(self._top_cache) >= self._top_cache_cap:
+                for k in list(islice(iter(self._top_cache),
+                                     self._top_cache_cap // 2)):
+                    del self._top_cache[k]
+            self._top_cache[(term, max_edit_distance)] = self._select_top(
+                max_edit_distance, events, dist)
+
     def create_dictionary_entry(self, key: str, count: int) -> bool:
+        self._top_cache.clear()
         if self.count_threshold > 1 and key in self.below_threshold_words:
             prev = self.below_threshold_words[key]
             count = prev + count if _USIZE_MAX - prev > count else _USIZE_MAX
@@ -187,9 +395,15 @@ class SymSpellKernel:
         candidate_pointer = 0
         candidates: list[str] = []
 
+        # hot-loop local bindings (attribute lookups cost in the BFS)
+        deletes_get = self.deletes.get
+        words_get = self.words.get
+        prefix_length = self.prefix_length
+        plen_med = prefix_length - max_edit_distance
+
         input_prefix_len = input_len
-        if input_prefix_len > self.prefix_length:
-            input_prefix_len = self.prefix_length
+        if input_prefix_len > prefix_length:
+            input_prefix_len = prefix_length
             candidates.append(input_term[:input_prefix_len])
         else:
             candidates.append(input_term)
@@ -204,7 +418,7 @@ class SymSpellKernel:
                     continue
                 break
 
-            for suggestion in self.deletes.get(candidate, ()):
+            for suggestion in deletes_get(candidate, ()):
                 if suggestion == input_term:
                     continue
                 suggestion_len = len(suggestion)
@@ -214,7 +428,9 @@ class SymSpellKernel:
                         or (suggestion_len == candidate_len
                             and suggestion != candidate)):
                     continue
-                suggestion_prefix_len = min(suggestion_len, self.prefix_length)
+                suggestion_prefix_len = (suggestion_len
+                                         if suggestion_len < prefix_length
+                                         else prefix_length)
                 if (suggestion_prefix_len > input_prefix_len
                         and suggestion_prefix_len - candidate_len > max_edit_distance2):
                     continue
@@ -229,14 +445,22 @@ class SymSpellKernel:
                 elif suggestion_len == 1:
                     # inverted-contains reference quirk (sym_spell.rs:430-436)
                     distance = input_len if suggestion[0] in input_term else input_len - 1
-                elif self._should_skip_dp(suggestion, input_term, candidate_len,
-                                          suggestion_len, input_len,
-                                          max_edit_distance):
+                elif (plen_med == candidate_len
+                      and (input_len if input_len < suggestion_len
+                           else suggestion_len) > prefix_length
+                      and self._should_skip_dp(suggestion, input_term,
+                                               candidate_len, suggestion_len,
+                                               input_len, max_edit_distance)):
+                    # the two cheap preconditions are _should_skip_dp's own
+                    # outer gate (sym_spell.rs:349-377), hoisted to skip
+                    # the call for the common case
                     continue
                 else:
-                    if verbosity != Verbosity.ALL and not self._delete_in_suggestion_prefix(
-                            candidate, suggestion):
-                        continue
+                    # _delete_in_suggestion_prefix (sym_spell.rs:444-449)
+                    # is elided from the hot loop: with string-keyed
+                    # postings it only ever rejects hash collisions, of
+                    # which there are none (see its docstring) — kept as
+                    # a method for structural parity and its tests
                     if suggestion in suggestions_considered:
                         continue
                     suggestions_considered.add(suggestion)
@@ -246,7 +470,7 @@ class SymSpellKernel:
                     distance = d
 
                 if distance <= max_edit_distance2:
-                    suggestion_ct = self.words.get(suggestion, 0)
+                    suggestion_ct = words_get(suggestion, 0)
                     si = SuggestItem(suggestion, distance, suggestion_ct)
                     if suggestions:
                         if verbosity == Verbosity.CLOSEST:
@@ -263,7 +487,7 @@ class SymSpellKernel:
                     suggestions.append(si)
 
             # candidate expansion BFS (sym_spell.rs:485-506)
-            if len_diff < max_edit_distance and candidate_len <= self.prefix_length:
+            if len_diff < max_edit_distance and candidate_len <= prefix_length:
                 if verbosity != Verbosity.ALL and len_diff >= max_edit_distance2:
                     continue
                 for i in range(candidate_len):
@@ -326,13 +550,11 @@ class SymSpellKernel:
 
         last_combi = False
         for i, term in enumerate(term_list):
-            suggestions = self.lookup(term, Verbosity.TOP, max_edit_distance,
-                                      False, True)
+            suggestions = self._lookup_top_memo(term, max_edit_distance)
 
             if i > 0 and not last_combi:
                 combi = term_list[i - 1] + term
-                suggestions_combi = self.lookup(combi, Verbosity.TOP,
-                                                max_edit_distance, False, True)
+                suggestions_combi = self._lookup_top_memo(combi, max_edit_distance)
                 if suggestions_combi:
                     best1 = suggestion_parts[-1]
                     if suggestions:
@@ -364,12 +586,10 @@ class SymSpellKernel:
                 if term_len > 1:
                     for j in range(1, term_len):
                         part1, part2 = term[:j], term[j:]
-                        suggestions1 = self.lookup(part1, Verbosity.TOP,
-                                                   max_edit_distance, False, True)
+                        suggestions1 = self._lookup_top_memo(part1, max_edit_distance)
                         if not suggestions1:
                             continue
-                        suggestions2 = self.lookup(part2, Verbosity.TOP,
-                                                   max_edit_distance, False, True)
+                        suggestions2 = self._lookup_top_memo(part2, max_edit_distance)
                         if not suggestions2:
                             continue
                         split_term = suggestions1[0].term + " " + suggestions2[0].term
@@ -471,8 +691,7 @@ class SymSpellKernel:
                 part = part.replace(" ", "")
                 top_ed -= len(part)
 
-                results = self.lookup(part, Verbosity.TOP,
-                                      max_edit_distance, False, True)
+                results = self._lookup_top_memo(part, max_edit_distance)
                 if results:
                     top_result = results[0].term
                     top_ed += results[0].distance

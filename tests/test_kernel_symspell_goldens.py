@@ -199,3 +199,45 @@ def test_word_segmentation_russian_multibyte():
     assert d == 1
     s, c, d, _ = k.word_segmentation("свойвремя", 0)
     assert s == c == "свой время"
+
+
+def test_fast_top_paths_match_lookup(en_gb_kernel):
+    """The tiered fast path (_lookup_top_fast) and the batched path
+    (lookup_top_batch) must be result-identical to
+    lookup(term, Top, med, False, True) — including quirk branches,
+    tie-breaks, and empty results — across dictionary words, corrupted
+    variants, merged pairs, split fragments, and unicode."""
+    import hashlib
+
+    k = en_gb_kernel
+    words = list(k.words)[:400]
+    probes = set(words[:50])
+    for i, w in enumerate(words):
+        h = int(hashlib.md5(w.encode()).hexdigest()[:8], 16)
+        if len(w) > 3:
+            p = h % len(w)
+            probes.add(w[:p] + w[p + 1:])                    # delete
+            if p < len(w) - 1:
+                probes.add(w[:p] + w[p + 1] + w[p] + w[p + 2:])  # swap
+        probes.add(w + words[(i + 7) % len(words)])          # merge error
+        for j in (1, len(w) // 2, len(w) - 1):
+            if 0 < j < len(w):
+                probes.add(w[:j])
+                probes.add(w[j:])
+    probes.update(["", "a", "ab", "абв", "héllo", "xqzwvj", "x" * 40])
+    probes = sorted(probes)
+    for med in (1, 2):
+        want = {p: [(s.term, s.distance, s.count)
+                    for s in k.lookup(p, Verbosity.TOP, med, False, True)]
+                for p in probes}
+        for p in probes:
+            got = [(s.term, s.distance, s.count)
+                   for s in k._lookup_top_fast(p, med)]
+            assert got == want[p], (p, med, got, want[p])
+        k._top_cache.clear()
+        k.lookup_top_batch(probes, med)
+        for p in probes:
+            got = [(s.term, s.distance, s.count)
+                   for s in k._top_cache[(p, med)]]
+            assert got == want[p], ("batch", p, med, got, want[p])
+        k._top_cache.clear()
