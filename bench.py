@@ -23,15 +23,9 @@ import time
 
 from spellchecker_wasm_spark.session import get_spark
 
-HEADLINE = [
-    "term_clusters", "scored_pairs_osa", "scored_pairs_similarity",
-    "lookup_closest", "lookup_top_unknown", "compound_known",
-    "dedup_ngram_jaccard", "minhash_lsh_dups", "simhash", "embedding_knn",
-    "dedup_embedding_lsh", "ann_ivf_topk", "text_stats", "token_counts",
-    "doc_fingerprint",
-    "word_segmentation", "media_frames", "tpch_q1",
-    "tpch_q3", "event_sessions", "event_type_topk",
-]
+# Round 3 (VERDICT r2 #8): the bench covers the FULL query catalog so
+# per-query perf regressions are visible round over round.  BENCH_QUERIES
+# (comma-separated) restricts the set for focused runs.
 
 # entities scale ~linearly with SF: sf0.1 → ~6k entities (~18k pages)
 _ENTITIES_BY_SF = {"sf0.001": 60, "sf0.01": 600, "sf0.1": 6000}
@@ -135,7 +129,10 @@ def main() -> None:
 
     if mode != "pipeline":
         from spellchecker_wasm_spark.queries import CATALOG
-        for name in HEADLINE:
+        only = os.environ.get("BENCH_QUERIES")
+        names = ([n for n in only.split(",") if n in CATALOG]
+                 if only else list(CATALOG))
+        for name in names:
             fn, _ = CATALOG[name]
             t0 = time.time()
             fn(spark, sf_dir).count()

@@ -702,11 +702,20 @@ SELECT qid, neighbor_id, rank FROM (
 WHERE rank <= 5
 """
 
+_DEDUP_EMB_CAP = 800  # exactness fixture runs on a bounded slice
+
+
 def _q_dedup_embedding(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs (threshold tuned to the
-    synthetic data's cosine distribution; integers-only output)."""
+    synthetic data's cosine distribution; integers-only output).
+
+    Deliberate all-pairs EXACTNESS FIXTURE, bounded to the first
+    _DEDUP_EMB_CAP vectors on both engines (VERDICT r2: an unbounded
+    O(N²) broadcast join cannot run at 100×) — dedup_embedding_lsh is
+    the scale path and the headline."""
     from .operators.similarity import _prep
-    emb = load(spark, sf_dir, "embeddings")
+    emb = (load(spark, sf_dir, "embeddings")
+           .where(F.col("vec_id") < _DEDUP_EMB_CAP))
     n = _prep(emb, "vec_id", "embedding")
     a = n.select(F.col("vid").alias("vec_a"), F.col("v").alias("va"),
                  F.col("nrm").alias("na"))
@@ -720,11 +729,11 @@ def _q_dedup_embedding(spark, sf_dir):
             .select("vec_a", "vec_b"))
 
 
-_O_DEDUP_EMBEDDING = """
+_O_DEDUP_EMBEDDING = f"""
 WITH e AS (SELECT vec_id,
                   list_transform(embedding,
                                  x -> CAST(round(x * 1000) AS BIGINT)) AS v
-           FROM embeddings),
+           FROM embeddings WHERE vec_id < {_DEDUP_EMB_CAP}),
 n AS (SELECT vec_id, v, list_sum(list_transform(v, x -> x * x)) AS nrm FROM e)
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
 FROM n a JOIN n b ON a.vec_id < b.vec_id
