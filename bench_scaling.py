@@ -23,7 +23,8 @@ import os
 import subprocess
 import sys
 
-LEVELS = (2, 8, 32)
+LEVELS = tuple(int(x) for x in
+               os.environ.get("BENCH_LEVELS", "2,8,32").split(","))
 
 def _wait_quiet(max_wait: int = 60) -> None:
     """Wait for prior JVMs to fully exit — overlapping shutdown skews the
@@ -191,8 +192,9 @@ level: {", ".join(str(results[c]['pipeline']['f1']) for c in LEVELS)}.
 
 | step | efficiency |
 |---|---|
-| local[2] → local[8] | {eff['2->8']:.3f} |
-| local[8] → local[32] | {eff['8->32']:.3f} |
+{chr(10).join(f"| local[{lo}] → local[{hi}] | {e:.3f} |"
+              for (lo, hi), e in zip(zip(LEVELS[:-1], LEVELS[1:]),
+                                     eff.values()))}
 
 Host-variance caveat: this sandbox is a shared-host VM; identical
 protocol runs hours apart varied up to ~2× on every leg (hypervisor
