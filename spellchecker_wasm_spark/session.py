@@ -54,6 +54,14 @@ def get_spark(app_name: str = "spellchecker_wasm_spark",
         .config("spark.ui.enabled", "false")
         .config("spark.driver.extraJavaOptions", "-Djava.net.preferIPv4Stack=true")
     )
+    # env-supplied conf overrides (JSON object) — lets subprocess bench
+    # legs trial spark confs (GC, compression codecs) without code edits;
+    # applied before caller extra_conf so explicit args still win
+    env_conf = os.environ.get("SPARK_GRAFT_EXTRA_CONF")
+    if env_conf:
+        import json
+        for k, v in json.loads(env_conf).items():
+            b = b.config(k, v)
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()
