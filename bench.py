@@ -56,15 +56,12 @@ def run_pipeline_bench(spark, sf_name: str) -> dict:
     t0 = time.time()
     from spellchecker_wasm_spark.functions.text_expr import title_expr
     from spellchecker_wasm_spark.pipeline.linkage import (
-        title_block_keys, title_prefixes_array)
+        pages_to_block_hashes, title_prefixes_array)
     pdim = (pages.where(F.col("html").isNotNull())
             .select(F.xxhash64("url").alias("id"),
                     title_expr(F.col("html")).alias("title"))
             .persist())
-    blocks = (pdim.select(
-        F.col("id").alias("page_id"), F.length("title").alias("tl"),
-        F.explode(title_block_keys(F.col("title"), cfg)).alias("k"))
-        .select("page_id", "tl", F.xxhash64("k").alias("block_key")))
+    blocks = pages_to_block_hashes(pdim, cfg)
     toks = pdim.select(F.explode(
         title_prefixes_array(F.col("title"), cfg)).alias("prefix"))
     hot = hot_keys_vocab(toks, cfg)
@@ -72,15 +69,21 @@ def run_pipeline_bench(spark, sf_name: str) -> dict:
                           "block_key", "left_anti")
               .repartition(F.col("block_key"))
               .persist())
+    # cache the SLIM id pairs (16 B/row); title payloads re-attach in the
+    # scoring stage, which consumes them exactly once — the streaming shape
+    # run_linkage executes (caching wide pairs cost ~30s/8-core-leg extra)
+    from spellchecker_wasm_spark.operators.pairs import attach_pair_terms
     dim = pdim.select("id", F.col("title").alias("term"))
     pairs = candidate_pairs(capped, id_col="page_id",
                             max_len_diff=cfg.max_edit_distance,
-                            dim=dim, len_col="tl").cache()
+                            dim=dim, len_col="tl",
+                            attach_terms=False).cache()
     n_pairs = pairs.count()
     block_wall = time.time() - t0
 
     t0 = time.time()
-    scored = score_pairs(pairs, max_distance=cfg.max_edit_distance).cache()
+    scored = score_pairs(attach_pair_terms(pairs, dim),
+                         max_distance=cfg.max_edit_distance).cache()
     n_scored = scored.count()
     score_wall = time.time() - t0
 

@@ -54,7 +54,7 @@ def main() -> None:
 
     from spellchecker_wasm_spark.operators.pairs import candidate_pairs
     from spellchecker_wasm_spark.pipeline.linkage import (
-        LinkageConfig, hot_keys_vocab, title_block_keys,
+        LinkageConfig, hot_keys_vocab, pages_to_block_hashes,
         title_prefixes_array)
     from spellchecker_wasm_spark.pipeline.webpages import (
         synthesize_pages_spark)
@@ -86,10 +86,7 @@ def main() -> None:
     hot = hot_keys_vocab(toks, cfg)
     mark("vocab_hot", lambda: hot.cache().count())
 
-    blocks = (pdim.select(
-        F.col("id").alias("page_id"), F.length("title").alias("tl"),
-        F.explode(title_block_keys(F.col("title"), cfg)).alias("k"))
-        .select("page_id", "tl", F.xxhash64("k").alias("block_key")))
+    blocks = pages_to_block_hashes(pdim, cfg)
     capped = (blocks.join(F.broadcast(hot.select("block_key")),
                           "block_key", "left_anti")
               .repartition(F.col("block_key"))

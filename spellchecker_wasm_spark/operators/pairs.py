@@ -24,7 +24,8 @@ def candidate_pairs(blocks: DataFrame, id_col: str = "term",
                     max_len_diff: int = 2,
                     dim: DataFrame | None = None,
                     len_col: str | None = None,
-                    self_join_hint: str | None = "shuffle_hash") -> DataFrame:
+                    self_join_hint: str | None = "shuffle_hash",
+                    attach_terms: bool = True) -> DataFrame:
     """blocks(block_key, id, term) self-join → (id_a, id_b, term_a, term_b)
     with id_a < id_b, deduplicated across shared keys.
 
@@ -91,10 +92,24 @@ def candidate_pairs(blocks: DataFrame, id_col: str = "term",
     ids = (a.join(b, cond)
            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
            .distinct())
+    if not attach_terms:
+        return ids
     if dim is None:
         dim = (blocks.select(F.col(id_col).alias("id"),
                              F.col(term_col).alias("term"))
                .dropDuplicates(["id"]))
+    return attach_pair_terms(ids, dim)
+
+
+def attach_pair_terms(ids: DataFrame, dim: DataFrame) -> DataFrame:
+    """(id_a, id_b) + id-unique dim(id, term) → (id_a, id_b, term_a,
+    term_b) via two broadcastable dimension joins.  Split out of
+    candidate_pairs so callers can checkpoint/cache the SLIM id pairs
+    (16 bytes/row) and re-attach payloads lazily where they are consumed
+    — caching the wide form costs ~10× the bytes and a second pass over
+    the payload joins (measured: the round-2 bench spent ~30s of its
+    8-core block stage materializing wide pairs the streaming pipeline
+    never builds)."""
     return (ids
             .join(dim.select(F.col("id").alias("id_a"),
                              F.col("term").alias("term_a")), "id_a")
