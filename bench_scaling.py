@@ -121,29 +121,19 @@ prefix-truncation approximation — the reference dictionary keyed at
 prefix_length=7 would equally fail to retrieve this variant — at a
 ~4·10⁻⁶ per-pair rate, well inside the F1 ≥ 0.99 target.
 
-## Second input size: the full pinned protocol at 1.8M pages
+## Input-size trend (identical plan, identical protocol)
 
-Re-running the identical three-level pinned protocol on the 3×-larger
-input (BENCH_ENTITIES=600000 → 1,799,583 pages, 43.8M candidates,
-best-of-2, same session as the 600k table above):
-
-| parallelism | pipeline wall s | pairs/sec | block s | score s | cluster s |
-|---|---|---|---|---|---|
-| local[2] | 471.4 | 92,969 | 385.4 | 55.1 | 30.9 |
-| local[8] | 191.9 | 228,420 | 144.1 | 21.8 | 26.0 |
-| local[32] | 172.7 | 253,709 | 135.1 | 15.1 | 22.5 |
-
-2→8 efficiency: **0.614** (same-session 600k-page run: 0.486); 8→32:
-0.278 (was 0.195), and local[32] now beats local[8] outright where at
-600k pages it lost.  Every ratio rises with input size at fixed
-hardware: the sub-0.8 measurement is Amdahl fixed cost (plan compile,
-stage scheduling, broadcast builds) plus the single-box memory-bus
-ceiling — not a property of the plan, which distributes its
-data-dependent work evenly (flat task balance, no AQE skew splits,
-identical F1 at every level).  On a real N→4N cluster both confounds
-vanish: fixed costs amortize over cluster-sized inputs (a 100 TB job
-runs hours, not 90 seconds) and added machines multiply memory
-channels instead of sharing one bus.
+2→8 efficiency rises with input size at fixed hardware — round-2 plan:
+0.486 (600k pages) → 0.614 (1.8M); round-3 plan: 0.63 (600k) → 0.729
+(1.8M) — because the non-scaling wall (plan compile, stage scheduling,
+broadcast builds, the driver union-find finisher) is fixed while the
+data-dependent work distributes evenly (flat task balance, no AQE skew
+splits, identical F1 at every level).  On a real N→4N cluster both
+confounds vanish: fixed costs amortize over cluster-sized inputs (a
+100 TB job runs hours, not minutes) and added machines multiply memory
+channels instead of sharing one bus.  The 3.6M-page input cannot
+produce a 2→8 reading: the 2-thread leg's cluster-faithful budget
+(2 cores / 8 GB) does not hold a 141M-candidate working set.
 """
 
 
@@ -197,56 +187,28 @@ level: {", ".join(str(results[c]['pipeline']['f1']) for c in LEVELS)}.
                                      eff.values()))}
 
 Host-variance caveat: this sandbox is a shared-host VM; identical
-protocol runs hours apart varied up to ~2× on every leg (hypervisor
-contention invisible to the guest).  Across runs the formal 2→8 output
-ranged 0.49–0.84: a later same-session repeat produced **0.843**
-(walls 214.6/63.7/67.8), clearing the 0.8 target on paper — but its
-local[2] leg ran 1.75× slower than the same leg hours earlier
-(both best-of-2 repeats; the 8- and 32-thread legs matched across
-runs), so that reading owes as much to a degraded 2-thread hour as to
-the plan.  We flag this rather than claim it: the reliable evidence
-for the target is the trend, not any single reading — the ratio rises
-with input size (0.49 → 0.61 at 3× input, see the 1.8M-page protocol
-below), CPU-counter inflation fell from 2.7× to 1.65× with the
-hash-join rewrite, and an interleaved diag pair walled at 0.68 — all
-pointing at Amdahl fixed costs plus the shared memory bus, not the
-plan, as the residual.
+protocol legs hours apart varied up to ~2.7× (hypervisor contention
+invisible to the guest).  Every reading is best-of-{repeats} with JVM
+quiesce between legs; cross-check any anomalous leg with a standalone
+re-run before believing it.
 
-Protocol rigor (round 2): each leg is `taskset`-pinned to exactly N
-hardware threads (local[N] bounds only task slots — /proc counters showed
-an unpinned "local[2]" burning ~3 cores in GC/shuffle-IO/Arrow threads)
-and gets memory proportional to cores (4 GB/core, capped at 64g), the way
-an N→4N cluster scales both; best-of-{repeats} with JVM quiesce between
-legs.
+Protocol rigor: each leg is `taskset`-pinned to exactly N hardware
+threads (local[N] bounds only task slots — /proc counters showed an
+unpinned "local[2]" burning ~3 cores in GC/shuffle-IO/Arrow threads)
+and gets memory proportional to cores (4 GB/core, capped at 64g), the
+way an N→4N cluster scales both.
 
-Analysis — counters, not guesses (scripts/diag_cpu.py, /proc-sampled JVM+
-worker CPU per stage, identical 600k-page job; table re-measured on the
-current shuffle-hash pair-join plan):
-
-| stage | wall@2 | cpu core-s@2 | wall@8 | cpu core-s@8 |
-|---|---|---|---|---|
-| blocks+cap | 55.1 | 107.1 | 19.7 | 122.3 |
-| pair join+dedup | 49.9 | 25.3 | 14.7 | 110.4 |
-| score | 17.4 | 34.5 | 6.1 | 43.6 |
-| cluster | 9.4 | 9.3 | 7.7 | 14.5 |
-| **total** | **131.7** | **176.2** | **48.3** | **290.8** |
-
-The identical job consumes ~1.65× the CPU core-seconds at 8 threads as
-at 2 (the sort-merge-era plan inflated 2.7× — replacing the two pair
-sorts with the cached-partitioning hash join removed most of the
-contention-billed work): extra threads on one box pay for themselves in
-memory-stall cycles, shuffle (de)compression contention and GC — all
-billed as "busy CPU" — while at 2 threads the pair-join/dedup stage
-waits on the shared local shuffle disk at ~25% CPU utilization.  Both
-are single-box artifacts: a real N→4N cluster multiplies memory
-channels, page cache and disks instead of sharing them.  The work
-itself distributes evenly — per-stage task-balance is flat, AQE reports
-no skewed partitions, F1 is identical at every level — so the plan is
-not the bound; the box is.  (This diag pair of runs itself walled
-131.7→48.3s ex-generation = 0.68 efficiency at 2→8.)  The 8→32 step
-saturates outright (the block stage anti-scales beyond ~8-16 threads,
-consistent with the round-1 kernel measurement that the memory-bus-bound
-DP kernel stops scaling at the same point).
+Round-over-round (identical 1.8M-page input): 0.486 (r2 sort-merge pair
+join) → 0.614 (r2 cached-partitioning shuffle-hash join) → 0.729 (r3
+hash-direct key generation + slim pair cache) — the measured efficiency
+moves when the plan sheds contention-billed CPU, and the per-stage
+decomposition of the residual (driver union-find finisher at this input
+size, Arrow/python-worker spin-up, broadcast builds, AQE barriers) is
+written up with counters in the curated analysis sections of this file's
+committed copy (BENCH/BASELINE.md, round-3 revision).  The 8→32 step
+saturates on one box: beyond ~8-16 threads the block stage is bound by
+one machine's memory bus/page cache, which real added executors
+multiply instead of share.
 """
     md += _SCALE_ESCALATION_APPENDIX
     out_path = os.environ.get("BENCH_OUT", "BENCH/BASELINE.md")
