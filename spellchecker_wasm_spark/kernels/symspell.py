@@ -545,6 +545,25 @@ class SymSpellKernel:
     # ------------------------------------------------------------------
     def lookup_compound(self, input_text: str,
                         max_edit_distance: int = 2) -> list[SuggestItem]:
+        joined, count = self.lookup_compound_joined(input_text,
+                                                    max_edit_distance)
+        d = osa_distance_max(input_text, joined, _USIZE_MAX)
+        return [SuggestItem(joined, 0 if d is None else d, int(count))]
+
+    def lookup_compound_joined(self, input_text: str,
+                               max_edit_distance: int = 2
+                               ) -> tuple[str, float]:
+        """lookup_compound minus the final-assembly distance: returns
+        (joined suggestion, raw float count).  The final distance is a
+        full unbounded OSA over the WHOLE document pair
+        (sym_spell.rs:663-676, distance_compare(input, joined,
+        usize::MAX)) — O(|doc|²) interpreted steps that dominated
+        compound_correct's wall (~16ms per 300-char doc).  The Spark
+        operator (operators/compound.py) calls this form and computes the
+        distances for a whole Arrow batch in ONE numpy DP
+        (distance_np.osa_batch), which is exactly the scalar value per
+        pair; lookup_compound keeps the reference-shaped scalar path for
+        parity tests."""
         term_list = parse_words(input_text)
         suggestion_parts: list[SuggestItem] = []
 
@@ -640,8 +659,7 @@ class SymSpellKernel:
             s_parts.append(part.term)
             count *= part.count / N
         joined = " ".join(s_parts)
-        d = osa_distance_max(input_text, joined, _USIZE_MAX)
-        return [SuggestItem(joined, 0 if d is None else d, int(count))]
+        return joined, count
 
     # ------------------------------------------------------------------
     # word_segmentation (sym_spell.rs:692-775)

@@ -123,24 +123,85 @@ def compound_correct(docs: DataFrame, text_col: str, words_df: DataFrame,
     cols = list(dict.fromkeys(list(id_cols) + [text_col]))
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..kernels.distance_np import osa_batch
         kernel = _KERNEL_CACHE.get(cache_token)
         if kernel is None:
             w, b, med, plen = bc.value
             kernel = kernel_from_counts(w, b, med, plen)
             _cache_put(cache_token, kernel)
         for pdf in batches:
-            res = [kernel.lookup_compound(t, max_edit_distance)[0]
-                   if t is not None else None
-                   for t in pdf[text_col]]
+            # per-doc sequential correction (irreducible), but the final
+            # assembly distance — an UNBOUNDED full-document OSA
+            # (sym_spell.rs:663-676) that dominated the wall at ~16ms per
+            # 300-char doc — runs once per batch as a numpy DP vectorized
+            # across documents (exact per-pair equality with the scalar
+            # is property-tested)
+            texts = list(pdf[text_col])
+            parts = [kernel.lookup_compound_joined(t, max_edit_distance)
+                     if t is not None else None
+                     for t in texts]
+            pair_t = [t if p is not None else "" for t, p in zip(texts, parts)]
+            pair_j = [p[0] if p is not None else "" for p in parts]
+            dists = _osa_batch_unbounded(pair_t, pair_j)
             out = pdf[list(id_cols)].copy() if id_cols else pd.DataFrame(
                 index=pdf.index)
-            out["corrected"] = [r.term if r else None for r in res]
-            out["distance"] = [r.distance if r else None for r in res]
-            out["count"] = [min(r.count, 2**63 - 1) if r else None
-                            for r in res]
+            out["corrected"] = [p[0] if p else None for p in parts]
+            out["distance"] = [max(int(d), 0) if p is not None else None
+                               for p, d in zip(parts, dists)]
+            out["count"] = [min(int(p[1]), 2**63 - 1) if p else None
+                            for p in parts]
             yield out
 
-    return docs.select(cols).mapInPandas(fn, schema)
+    return _parallel_select(docs, cols).mapInPandas(fn, schema)
+
+
+def _osa_batch_unbounded(a: list, b: list):
+    """Exact unbounded OSA per pair via escalating-band batched DP.
+
+    The corrected document differs from its input at every stripped
+    punctuation mark, so the per-pair prefix/suffix strip barely shrinks
+    the cores and a max-length band makes the batched DP quadratic in
+    document length (measured 5.8s for 5000 sf0.1 docs).  True final
+    distances are tiny (p99 = 6 there), so run the band at 16 and
+    re-run only the unresolved pairs (osa_batch returns -1 beyond the
+    bound — never a wrong value) at 4× the bound until none remain;
+    termination is guaranteed once the bound reaches the max pair
+    length, where the band is the full matrix.  Exactness therefore
+    reduces to osa_batch's own (property-tested) banded-DP contract.
+    Measured 1.03s on the same 5000 docs."""
+    import numpy as np
+
+    from ..kernels.distance_np import osa_batch
+    n = len(a)
+    out = np.full(n, -1, dtype=np.int64)
+    todo = np.arange(n)
+    bound = 16
+    while len(todo):
+        res = osa_batch([a[i] for i in todo], [b[i] for i in todo],
+                        bound)
+        out[todo] = res
+        todo = todo[res < 0]
+        if not len(todo):
+            break
+        maxneed = max(max(len(a[i]), len(b[i])) for i in todo)
+        if bound >= maxneed:
+            break
+        bound = min(bound * 4, maxneed)
+    return out
+
+
+def _parallel_select(docs: DataFrame, cols: list) -> DataFrame:
+    """Select the needed columns and, when the input arrives in fewer
+    partitions than the session's parallelism (the sf0.1 documents table
+    is ONE parquet file — the whole mapInPandas ran on one core),
+    round-robin repartition so the per-document Python fans out.  Inputs
+    that are already well-partitioned (any at-scale table) keep their
+    partitioning — no shuffle is added."""
+    out = docs.select(cols)
+    dp = docs.sparkSession.sparkContext.defaultParallelism
+    if out.rdd.getNumPartitions() < dp:
+        out = out.repartition(dp)
+    return out
 
 
 def segment_texts(docs: DataFrame, text_col: str, words_df: DataFrame,
@@ -188,4 +249,4 @@ def segment_texts(docs: DataFrame, text_col: str, words_df: DataFrame,
             out["distance"] = dists
             yield out
 
-    return docs.select(cols).mapInPandas(fn, schema)
+    return _parallel_select(docs, cols).mapInPandas(fn, schema)
