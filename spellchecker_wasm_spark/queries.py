@@ -1638,23 +1638,33 @@ def _stream_two_file_source(spark, sf_dir, table: str, order_col: str) -> str:
     """Materialize <table> as two parquet files split at the order_col
     median, file2's mtime bumped so FileStreamSource replays them in
     order — a deterministic two-micro-batch rendition of the fixture
-    that preserves per-key time order across batches."""
+    that preserves per-key time order across batches.
+
+    Built with pyarrow directly (read → sort-free median split → two
+    writes): the previous Spark rendition cost three jobs (median, two
+    coalesce(1) writes) per streaming catalog query, ~2-3s of the
+    fixture's wall at sf0.1.  The parquet schema (incl. timestamp_ntz)
+    round-trips byte-identically through pyarrow, so the streaming
+    reader sees exactly the driver-generated schema."""
     import glob
     import os
     import tempfile
     import time
 
-    src = load(spark, sf_dir, table)
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
     d = tempfile.mkdtemp(prefix=f"swspark_stream_{table}_")
-    oc = F.col(order_col)
-    if dict(src.dtypes)[order_col].startswith("timestamp"):
-        oc = oc.cast("timestamp")  # NTZ → zoned before the numeric cast
-    oc = oc.cast("double")
-    med = src.select(F.median(oc).alias("m")).first()["m"]
-    (src.where(oc <= med)
-     .coalesce(1).write.mode("overwrite").parquet(d + "/f1"))
-    (src.where(oc > med)
-     .coalesce(1).write.mode("overwrite").parquet(d + "/f2"))
+    tbl = pq.read_table(os.path.join(sf_dir, f"{table}.parquet"))
+    col = tbl.column(order_col)
+    key = (col.cast(pa.int64()) if pa.types.is_timestamp(col.type)
+           else col).cast(pa.float64())
+    med = pc.quantile(key, q=0.5, interpolation="linear")[0].as_py()
+    mask = pc.less_equal(key, pa.scalar(med, type=pa.float64()))
+    os.makedirs(d + "/f1"), os.makedirs(d + "/f2")
+    pq.write_table(tbl.filter(mask), d + "/f1/part-0.parquet")
+    pq.write_table(tbl.filter(pc.invert(mask)), d + "/f2/part-0.parquet")
     later = time.time() + 60
     for p in glob.glob(d + "/f2/*.parquet"):
         os.utime(p, (later, later))
@@ -1706,9 +1716,18 @@ def _q_stream_event_sessions(spark, sf_dir):
               .option("maxFilesPerTrigger", "1").parquet(path + "/*"))
     out = sessionize_stream(stream, gap_seconds=1800, output_mode="update")
     name = "stream_sess_" + uuid.uuid4().hex[:8]
-    q = (out.writeStream.format("memory").queryName(name)
-         .outputMode("update").trigger(availableNow=True).start())
-    q.awaitTermination(300)
+    # stateful-shuffle width is fixed at stream start (AQE does not apply
+    # to streaming state partitioning) — size it to the fixture: 64 state
+    # stores x 2 micro-batches was ~6s of open/commit overhead for a
+    # 1.5k-user table; a production stream sizes this to its key space
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (out.writeStream.format("memory").queryName(name)
+             .outputMode("update").trigger(availableNow=True).start())
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return (spark.table(name).groupBy("user_id")
             .agg(F.max("n_events").alias("n_events"),
                  F.max("n_sessions").alias("n_sessions")))
