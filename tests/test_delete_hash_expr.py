@@ -104,3 +104,25 @@ def test_candidate_pairs_identical_to_string_path(spark):
     p_new = {(r.id_a, r.id_b) for r in candidate_pairs(
         new, id_col="page_id", dim=dim, len_col="tl").collect()}
     assert p_old == p_new and p_old
+
+
+@pytest.mark.parametrize("med,plen", [(1, 5), (2, 4), (1, 7), (2, 3)])
+def test_hash_family_bijection_nondefault_configs(spark, med, plen):
+    """The string↔hash family correspondence holds at every
+    (max_edit_distance, prefix_length) with plen > med, not just the
+    SymSpell defaults."""
+    words = ["abcde", "abcd", "abc", "ab", "a", "aaaaa", "aabba",
+             "приве", "яя", "x", "", "abab", "baba", "abcdx"]
+    df = (spark.createDataFrame([(w,) for w in words if w], ["term"])
+          .select(F.substring("term", 1, plen).alias("p")))
+    rows = df.select(
+        "p",
+        delete_keys_of_prefix(F.col("p"), med, plen).alias("ks"),
+        delete_key_hashes_of_prefix(F.col("p"), med, plen).alias("hs")
+    ).collect()
+    mapping, rev = {}, {}
+    for row in rows:
+        assert len(row.ks) == len(row.hs), row.p
+        for k, h in zip(row.ks, row.hs):
+            assert mapping.setdefault(k, h) == h, (med, plen, row.p, k)
+            assert rev.setdefault(h, k) == k, (med, plen, row.p, k)
