@@ -30,6 +30,35 @@ from spellchecker_wasm_spark.session import get_spark
 # entities scale ~linearly with SF: sf0.1 → ~6k entities (~18k pages)
 _ENTITIES_BY_SF = {"sf0.001": 60, "sf0.01": 600, "sf0.1": 6000}
 
+_HZ = os.sysconf("SC_CLK_TCK")
+
+
+def _tree_cpu_core_sec() -> float:
+    """CPU core-seconds consumed so far by every java/python process in
+    this container, including reaped children (cutime/cstime), so per-
+    stage deltas attribute short-lived Python workers correctly: a worker
+    alive at the first sample is counted via its own utime/stime; if it
+    exits before the second sample its full lifetime lands in its
+    reaper's cutime, and the delta nets out to exactly its in-interval
+    usage.  Used by the scaling protocol to separate "plan doesn't
+    scale" (CPU core-seconds flat across N) from "box doesn't scale"
+    (core-seconds inflate with N → shared memory-bus/cache stalls that a
+    real multi-machine cluster multiplies instead of sharing).
+    Sampling cost is microseconds; it cannot perturb the timed stages."""
+    total = 0.0
+    for pid in os.listdir("/proc"):
+        if not pid.isdigit():
+            continue
+        try:
+            with open(f"/proc/{pid}/stat") as f:
+                parts = f.read().split()
+        except (FileNotFoundError, ProcessLookupError, PermissionError):
+            continue
+        if "java" in parts[1] or "python" in parts[1]:
+            total += (int(parts[13]) + int(parts[14])
+                      + int(parts[15]) + int(parts[16])) / _HZ
+    return total
+
 
 def run_pipeline_bench(spark, sf_name: str) -> dict:
     from pyspark.sql import functions as F
@@ -54,6 +83,7 @@ def run_pipeline_bench(spark, sf_name: str) -> dict:
     gen_wall = time.time() - t0
 
     t0 = time.time()
+    cpu0 = _tree_cpu_core_sec()
     from spellchecker_wasm_spark.functions.text_expr import title_expr
     from spellchecker_wasm_spark.pipeline.linkage import (
         pages_to_block_hashes, title_prefixes_array)
@@ -80,12 +110,14 @@ def run_pipeline_bench(spark, sf_name: str) -> dict:
                             attach_terms=False).cache()
     n_pairs = pairs.count()
     block_wall = time.time() - t0
+    cpu1 = _tree_cpu_core_sec()
 
     t0 = time.time()
     scored = score_pairs(attach_pair_terms(pairs, dim),
                          max_distance=cfg.max_edit_distance).cache()
     n_scored = scored.count()
     score_wall = time.time() - t0
+    cpu2 = _tree_cpu_core_sec()
 
     t0 = time.time()
     ids = connected_components(
@@ -96,6 +128,7 @@ def run_pipeline_bench(spark, sf_name: str) -> dict:
                 .select(F.col("url").alias("node"), "component").cache())
     clusters.count()
     cluster_wall = time.time() - t0
+    cpu3 = _tree_cpu_core_sec()
 
     # correctness check, outside the timed engine stages
     scores = pairwise_f1(clusters, labels)
@@ -112,6 +145,10 @@ def run_pipeline_bench(spark, sf_name: str) -> dict:
         "cluster_sec": round(cluster_wall, 3),
         "total_sec": round(total, 3),
         "pairs_scored_per_sec": round(n_pairs / score_wall, 1),
+        "cpu_core_sec": {"block": round(cpu1 - cpu0, 1),
+                         "score": round(cpu2 - cpu1, 1),
+                         "cluster": round(cpu3 - cpu2, 1),
+                         "total": round(cpu3 - cpu0, 1)},
     }
 
 

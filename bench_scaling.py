@@ -160,11 +160,36 @@ def main() -> None:
     rows = []
     for c in LEVELS:
         p = results[c]["pipeline"]
+        cpu = p.get("cpu_core_sec", {}).get("total")
         rows.append(
             f"| local[{c}] | {p['pages']} | {p['candidate_pairs']} | "
             f"{p['total_sec']} | {thr[c]:,.0f} | {p['block_sec']} | "
-            f"{p['score_sec']} | {p['cluster_sec']} |")
+            f"{p['score_sec']} | {p['cluster_sec']} | "
+            f"{cpu if cpu is not None else '—'} |")
     table = "\n".join(rows)
+
+    # CPU-inflation evidence (counters sampled by bench.py around each
+    # stage): flat core-seconds across N ⇒ the plan scales and any wall
+    # shortfall is fixed costs; inflating core-seconds ⇒ shared-resource
+    # stalls (memory bus/cache) that added MACHINES would multiply.
+    cpu_rows = []
+    for lo, hi in zip(LEVELS[:-1], LEVELS[1:]):
+        plo = results[lo]["pipeline"].get("cpu_core_sec")
+        phi = results[hi]["pipeline"].get("cpu_core_sec")
+        if not (plo and phi):
+            continue
+        for stage in ("block", "score", "cluster", "total"):
+            if plo[stage] > 0:
+                cpu_rows.append(
+                    f"| {stage} | {plo[stage]} | {phi[stage]} | "
+                    f"{phi[stage] / plo[stage]:.2f}× |")
+        cpu_rows.append(f"| | local[{lo}] | local[{hi}] | |")
+    cpu_section = ""
+    if cpu_rows:
+        cpu_section = (
+            "\n**CPU core-seconds per stage (counters, same runs):**\n\n"
+            "| stage | low-N core-s | high-N core-s | inflation |\n"
+            "|---|---|---|---|\n" + "\n".join(cpu_rows) + "\n")
     p0 = results[LEVELS[0]]["pipeline"]
     md = f"""# BENCH/BASELINE — scaling protocol run
 
@@ -174,8 +199,8 @@ pages, seed 42, {p0['entities']} entities → {p0['pages']} pages), three
 local parallelism levels standing in for cluster sizes.  F1 at every
 level: {", ".join(str(results[c]['pipeline']['f1']) for c in LEVELS)}.
 
-| parallelism | input rows | candidate pairs | pipeline wall s | pairs/sec | block s | score s | cluster s |
-|---|---|---|---|---|---|---|---|
+| parallelism | input rows | candidate pairs | pipeline wall s | pairs/sec | block s | score s | cluster s | cpu core-s |
+|---|---|---|---|---|---|---|---|---|
 {table}
 
 **Scaling efficiency (N→4N, target ≥ 0.8):**
@@ -185,6 +210,7 @@ level: {", ".join(str(results[c]['pipeline']['f1']) for c in LEVELS)}.
 {chr(10).join(f"| local[{lo}] → local[{hi}] | {e:.3f} |"
               for (lo, hi), e in zip(zip(LEVELS[:-1], LEVELS[1:]),
                                      eff.values()))}
+{cpu_section}
 
 Host-variance caveat: this sandbox is a shared-host VM; identical
 protocol legs hours apart varied up to ~2.7× (hypervisor contention

@@ -59,16 +59,23 @@ class StageWriter:
             self._log({"stage": name, "event": "resume", "path": path})
             return self.spark.read.parquet(path)
         t0 = time.time()
-        df.write.mode("overwrite").parquet(path)
+        # row count rides the write action itself (Observation) — at
+        # 100 TB a count-only re-scan of the stage output would double
+        # the checkpoint's read IO; the per-partition breakdown below
+        # stays opt-in because it genuinely needs a second pass
+        from pyspark.sql import Observation
+        obs = Observation()
+        df.observe(obs, F.count(F.lit(1)).alias("rows")) \
+            .write.mode("overwrite").parquet(path)
         out = self.spark.read.parquet(path)
         wall = time.time() - t0
         metrics = {"stage": name, "event": "write", "path": path,
                    "wall_sec": round(wall, 3),
+                   "row_count": int(obs.get["rows"]),
                    "input_fingerprint": input_fingerprint}
         if self.collect_partition_lineage:
             per_part = (out.groupBy(F.spark_partition_id().alias("pid"))
                         .count().collect())
-            metrics["row_count"] = int(sum(r["count"] for r in per_part))
             metrics["partitions"] = {int(r["pid"]): int(r["count"])
                                      for r in per_part}
         self._log(metrics)

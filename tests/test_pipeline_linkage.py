@@ -84,9 +84,13 @@ def test_linkage_resume_from_checkpoint(spark, pages_and_labels, tmp_path):
     assert len(events2) == 3
     assert pairwise_f1(r2["clusters"], labels)["f1"] == f1_first
 
-    # lineage carries per-partition row counts
+    # lineage carries per-partition row counts; the observation-based
+    # total (free, rides the write) must agree with the per-partition
+    # scan (opt-in second pass)
     writes = [m for m in writer.metrics() if m["event"] == "write"]
     assert all("partitions" in m and m["row_count"] > 0 for m in writes)
+    assert all(sum(m["partitions"].values()) == m["row_count"]
+               for m in writes)
 
 
 def test_extraction_invariant_enforced(spark, pages_and_labels):
