@@ -147,6 +147,22 @@ def test_connected_components_random_graph(spark):
     assert got == _brute_components(edges, nodes)
 
 
+def test_connected_components_distributed_rounds(spark):
+    """Force the large-star/small-star rounds (driver_finish_threshold=0
+    keeps the finisher out entirely) — they must agree with brute force
+    on the same random graph that exercises the driver path above."""
+    import random
+    rng = random.Random(7)
+    nodes = list(range(150))
+    edges = [(rng.randrange(150), rng.randrange(150)) for _ in range(110)]
+    edf = spark.createDataFrame([Row(id_a=a, id_b=b) for a, b in edges])
+    ndf = spark.createDataFrame([Row(node=n) for n in nodes])
+    got = {r["node"]: r["component"]
+           for r in connected_components(
+               edf, nodes=ndf, driver_finish_threshold=0).collect()}
+    assert got == _brute_components(edges, nodes)
+
+
 def test_connected_components_long_chain(spark):
     # path graph: worst case for naive propagation, fine for star rounds
     edges = [(i, i + 1) for i in range(40)]
