@@ -25,7 +25,8 @@ def candidate_pairs(blocks: DataFrame, id_col: str = "term",
                     dim: DataFrame | None = None,
                     len_col: str | None = None,
                     self_join_hint: str | None = "shuffle_hash",
-                    attach_terms: bool = True) -> DataFrame:
+                    attach_terms: bool = True,
+                    prefilter_band: int | None = None) -> DataFrame:
     """blocks(block_key, id, term) self-join → (id_a, id_b, term_a, term_b)
     with id_a < id_b, deduplicated across shared keys.
 
@@ -49,6 +50,31 @@ def candidate_pairs(blocks: DataFrame, id_col: str = "term",
     the ~80×-fan-out explode and the self-join shuffle move (id:long,
     key:string, len:int) rows instead of dragging the title payload
     through every exchange (~2× narrower at web-page title widths).
+
+    ``prefilter_band`` (slim id-path only, requires ``dim``): apply the
+    lossless banded-Levenshtein verification prefilter *before* the pair
+    ``distinct()`` instead of after it: term payloads are attached to the
+    raw self-join emit via *broadcast* probes (zero exchange) and
+    ``F.levenshtein(a, b, band)`` (band = ``2·max_edit_distance``, the
+    OSA ≤ lev ≤ 2·OSA envelope score_pairs documents) discards
+    non-matches first, so the distinct exchanges only surviving rows
+    (43.8M → 2.18M on the 1.8M-page linkage input) and the downstream
+    payload joins shrink the same way.  Downstream MUST then call
+    score_pairs(jvm_prefilter=False) — the filter is identical and
+    already applied.  MEASURED OUTCOME (1.8M pages, 8 pinned cores,
+    A/B same host window): end-to-end LOSS — block 67.9 → 114.8s
+    (+380 core-s: two broadcast-hash probes plus one banded DP per
+    *emitted* pair, i.e. per shared key, ~5× the per-distinct-pair
+    verification work) vs score 22.4 → 7.6s; net 102 → 134s.  The slim
+    16-byte dedup exchange is cheaper than the work that avoids it —
+    lz4'd long-pairs move at memory speed while the emit-side DP pays
+    the full duplication factor.  Kept as an opt-in (oracle-checked:
+    queries.py candidate_pairs_prefilter) for shapes where the dedup
+    exchange genuinely bottlenecks (disk-spilling shuffles, very high
+    dup factors with short strings).  Broadcast bound: the (id, term)
+    dim must fit a broadcast (~60 B/page: fine to ~50M pages per
+    executor heap); past that, carry the term through the key explode
+    instead (the documented cluster-scale fallback) or leave this off.
 
     ``self_join_hint`` (slim id-path only): join-strategy hint on the
     build side.  The default ``shuffle_hash`` replaces the sort-merge
@@ -89,9 +115,24 @@ def candidate_pairs(blocks: DataFrame, id_col: str = "term",
     cond = ((F.col("a.block_key") == F.col("b.block_key"))
             & (F.col("a.id") < F.col("b.id"))
             & (F.abs(F.col("a.tl") - F.col("b.tl")) <= max_len_diff))
-    ids = (a.join(b, cond)
-           .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-           .distinct())
+    emitted = (a.join(b, cond)
+               .select(F.col("a.id").alias("id_a"),
+                       F.col("b.id").alias("id_b")))
+    if prefilter_band is not None:
+        if dim is None:
+            raise ValueError("prefilter_band requires a caller-supplied dim")
+        wide = (emitted
+                .join(F.broadcast(dim.select(F.col("id").alias("id_a"),
+                                             F.col("term").alias("term_a"))),
+                      "id_a")
+                .join(F.broadcast(dim.select(F.col("id").alias("id_b"),
+                                             F.col("term").alias("term_b"))),
+                      "id_b"))
+        emitted = (wide.where(F.levenshtein(F.col("term_a"), F.col("term_b"),
+                                            prefilter_band)
+                              .between(0, prefilter_band))
+                   .select("id_a", "id_b"))
+    ids = emitted.distinct()
     if not attach_terms:
         return ids
     if dim is None:

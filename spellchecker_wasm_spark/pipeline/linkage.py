@@ -261,6 +261,13 @@ class LinkageConfig:
     max_cc_iter: int = 25
     min_token_len: int = 2
     verify_extraction: bool = True
+    # apply the lossless 2d-banded Levenshtein verification BEFORE pair
+    # dedup (operators.pairs.candidate_pairs prefilter_band docstring):
+    # shrinks the dedup exchange ~20× but pays the verification DP per
+    # EMITTED pair (per shared key) — measured a net 1.3× end-to-end LOSS
+    # on this workload, so off by default; see the docstring for when it
+    # wins.  Requires the (id, title) dim to be broadcastable.
+    prefilter_before_dedup: bool = False
 
 
 def extract_and_tokenize(pages: DataFrame, config: LinkageConfig) -> DataFrame:
@@ -347,10 +354,13 @@ def run_linkage(spark: SparkSession, pages: DataFrame,
                      "dropped_keys": dropped.count()})
 
     dim = pdim.select("id", F.col("title").alias("term"))
+    band = (2 * config.max_edit_distance
+            if config.prefilter_before_dedup else None)
     pairs = candidate_pairs(capped, id_col="page_id",
                             max_len_diff=config.max_edit_distance, dim=dim,
-                            len_col="tl")
-    scored = score_pairs(pairs, max_distance=config.max_edit_distance)
+                            len_col="tl", prefilter_band=band)
+    scored = score_pairs(pairs, max_distance=config.max_edit_distance,
+                         jvm_prefilter=band is None)
     if writer:
         scored = writer.materialize("scored_pairs", scored)
 

@@ -165,6 +165,33 @@ def _q_candidate_pairs(spark, sf_dir):
 _O_CAND_PAIRS = _SQL_CAND_PAIRS + " SELECT term_a, term_b FROM cand"
 
 
+def _q_candidate_pairs_prefilter(spark, sf_dir):
+    """Fused verification prefilter (operators.pairs ``prefilter_band``):
+    the lossless 2·med-banded Levenshtein runs BEFORE the pair
+    ``distinct()``, on payloads broadcast-attached to the raw self-join
+    emit — the plan shape the linkage pipeline uses to shrink its dedup
+    exchange.  Exercises the slim id path end-to-end: 64-bit ids,
+    precomputed length column, broadcast dim, post-filter dedup."""
+    terms = _distinct_terms(spark, sf_dir)
+    dim = terms.select(F.xxhash64("term").alias("id"),
+                       F.col("term").alias("term"))
+    slim = build_blocks(terms).select(
+        F.xxhash64("term").alias("pid"), "block_key",
+        F.length("term").alias("tl"))
+    pairs = candidate_pairs(slim, id_col="pid", term_col="term",
+                            max_len_diff=2, dim=dim, len_col="tl",
+                            prefilter_band=4)
+    # id order is xxhash64 order — canonicalize to term order for the
+    # oracle compare
+    return pairs.select(F.least("term_a", "term_b").alias("term_a"),
+                        F.greatest("term_a", "term_b").alias("term_b"))
+
+
+_O_CAND_PREFILTER = (_SQL_CAND_PAIRS +
+                     " SELECT term_a, term_b FROM cand "
+                     "WHERE levenshtein(term_a, term_b) <= 4")
+
+
 def _q_scored_pairs_osa(spark, sf_dir):
     blocks = build_blocks(_distinct_terms(spark, sf_dir))
     return (score_pairs(candidate_pairs(blocks), max_distance=2)
@@ -1739,6 +1766,8 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "parse_words_tokens": (_q_parse_words, _o_parse_words_sql()),
     "blocking_keys": (_q_blocking_keys, _O_BLOCKING_KEYS),
     "candidate_pairs": (_q_candidate_pairs, _O_CAND_PAIRS),
+    "candidate_pairs_prefilter": (_q_candidate_pairs_prefilter,
+                                  _O_CAND_PREFILTER),
     "scored_pairs_osa": (_q_scored_pairs_osa, _O_SCORED_OSA),
     "scored_pairs_lev": (_q_scored_pairs_lev, _O_SCORED_LEV),
     "scored_pairs_similarity": (_q_scored_pairs_similarity,

@@ -69,6 +69,25 @@ def test_linkage_f1(pages_and_labels):
     assert scores["recall"] == 1.0, scores  # blocking is lossless at ≤2 edits
 
 
+def test_fused_prefilter_equals_post_dedup(pages_and_labels):
+    """prefilter_before_dedup moves the lossless 2d-banded Levenshtein
+    ahead of the pair distinct() — scored pairs and clusters must be
+    IDENTICAL to the default plan on the same input."""
+    pages, _ = pages_and_labels
+    base = run_linkage(pages.sparkSession, pages)
+    fused = run_linkage(pages.sparkSession, pages,
+                        config=LinkageConfig(prefilter_before_dedup=True))
+    key = lambda r: (r["id_a"], r["id_b"], r["distance"])
+    assert sorted(map(key, base["scored_pairs"]
+                      .select("id_a", "id_b", "distance").collect())) == \
+           sorted(map(key, fused["scored_pairs"]
+                      .select("id_a", "id_b", "distance").collect()))
+    to_sets = lambda df: sorted(
+        tuple(sorted(r["nodes"])) for r in df.groupBy("component")
+        .agg(F.collect_set("node").alias("nodes")).collect())
+    assert to_sets(base["clusters"]) == to_sets(fused["clusters"])
+
+
 def test_linkage_resume_from_checkpoint(spark, pages_and_labels, tmp_path):
     pages, labels = pages_and_labels
     writer = StageWriter(spark, str(tmp_path), "run1")
