@@ -2,7 +2,8 @@
 """Scaling protocol (BASELINE.md): run the identical linkage pipeline on
 the identical input at three local parallelism levels (2, 8, 32) standing
 in for cluster sizes, report throughput and the efficiency of each 4×
-step, and write the table to BENCH/BASELINE.md.
+step, and write the raw report to BENCH/BASELINE_run.md (override
+with BENCH_OUT; BENCH/BASELINE.md is the curated committed analysis).
 
 Each level runs in a fresh subprocess so the JVM/session is fully isolated
 (the same isolation spark-submit would give per cluster size).
@@ -237,7 +238,10 @@ one machine's memory bus/page cache, which real added executors
 multiply instead of share.
 """
     md += _SCALE_ESCALATION_APPENDIX
-    out_path = os.environ.get("BENCH_OUT", "BENCH/BASELINE.md")
+    # BENCH/BASELINE.md is the CURATED committed analysis; raw runs land
+    # beside it and get folded in by hand (curation keeps disclosed
+    # history that a regenerated table would silently drop)
+    out_path = os.environ.get("BENCH_OUT", "BENCH/BASELINE_run.md")
     with open(out_path, "w") as f:
         f.write(md)
     print(json.dumps({"efficiency": eff,
