@@ -1543,6 +1543,188 @@ FROM w
 
 
 # ---------------------------------------------------------------------------
+# training-data curation: quality rules, dedup clustering, sampling
+# ---------------------------------------------------------------------------
+
+# Gopher-style rule chain (Rae et al. 2021 §A1.1, public): each rule is a
+# deterministic predicate over whitespace tokens; thresholds are tuned to
+# BITE on the fixture distribution (word counts 10-99, mean word length
+# 3.7-5.3, short-word fraction 0-0.46, max word length 5-8, stopword hits
+# 0-2) so the oracle actually exercises both branches of every rule.
+_QF_STOPWORDS = ("the", "a", "of", "to", "and", "in", "is")
+
+
+def _q_quality_filter(spark, sf_dir):
+    """Per-document quality scoring + keep/drop rule chain.
+
+    Scale shape: one narrow map-only projection over the corpus — every
+    statistic folds over the per-row token array inside whole-stage
+    codegen (no explode, no shuffle, no Python), so at 10^12 docs this is
+    a pure scan whose cost is the parquet read.  The filter chain is the
+    standard pre-training curation gate (word-count window, mean word
+    length, short-word fraction, max word length, stopword evidence)."""
+    docs = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    d = docs.select(
+        "doc_id",
+        F.expr("filter(split(text, ' '), x -> x <> '')").alias("w"))
+    n_words = F.size("w")
+    stats = d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        (F.expr("aggregate(w, 0L, (a, x) -> a + length(x))")
+         / n_words).alias("mean_word_len"),
+        (F.expr("size(filter(w, x -> length(x) <= 3))")
+         / n_words).alias("frac_short"),
+        F.expr("array_max(transform(w, x -> length(x)))")
+        .alias("max_word_len"),
+        F.size(F.array_intersect(
+            "w", F.array(*[F.lit(s) for s in _QF_STOPWORDS])))
+        .alias("n_stop"))
+    r_words = F.col("n_words").between(20, 80)
+    r_mean = F.col("mean_word_len").between(4.0, 5.0)
+    r_short = F.col("frac_short") <= 0.3
+    r_maxlen = F.col("max_word_len") <= 7
+    r_stop = F.col("n_stop") >= 1
+    return stats.select(
+        "doc_id", "n_words", "mean_word_len", "frac_short", "max_word_len",
+        "n_stop",
+        r_words.cast("int").alias("r_words"),
+        r_mean.cast("int").alias("r_mean"),
+        r_short.cast("int").alias("r_short"),
+        r_maxlen.cast("int").alias("r_maxlen"),
+        r_stop.cast("int").alias("r_stop"),
+        (r_words & r_mean & r_short & r_maxlen & r_stop)
+        .cast("int").alias("keep"))
+
+
+_O_QUALITY_FILTER = f"""
+WITH d AS (SELECT doc_id,
+                  list_filter(string_split(text, ' '), x -> x <> '') AS l
+           FROM documents WHERE text IS NOT NULL),
+s AS (SELECT doc_id,
+             CAST(len(l) AS INTEGER) AS n_words,
+             list_sum(list_transform(l, x -> length(x))) * 1.0 / len(l)
+                 AS mean_word_len,
+             len(list_filter(l, x -> length(x) <= 3)) * 1.0 / len(l)
+                 AS frac_short,
+             CAST(list_max(list_transform(l, x -> length(x))) AS INTEGER)
+                 AS max_word_len,
+             CAST(len(list_intersect(l,
+                 {list(_QF_STOPWORDS)!r})) AS INTEGER) AS n_stop
+      FROM d)
+SELECT doc_id, n_words, mean_word_len, frac_short, max_word_len, n_stop,
+       CAST(n_words BETWEEN 20 AND 80 AS INTEGER) AS r_words,
+       CAST(mean_word_len BETWEEN 4.0 AND 5.0 AS INTEGER) AS r_mean,
+       CAST(frac_short <= 0.3 AS INTEGER) AS r_short,
+       CAST(max_word_len <= 7 AS INTEGER) AS r_maxlen,
+       CAST(n_stop >= 1 AS INTEGER) AS r_stop,
+       CAST(n_words BETWEEN 20 AND 80 AND mean_word_len BETWEEN 4.0 AND 5.0
+            AND frac_short <= 0.3 AND max_word_len <= 7 AND n_stop >= 1
+            AS INTEGER) AS keep
+FROM s
+"""
+
+
+def _q_dedup_clusters(spark, sf_dir):
+    """Doc-level near-duplicate CLUSTERING: the dedup endgame a training
+    pipeline actually runs — verified near-dup pairs (inverted-index
+    n-gram Jaccard >= 0.2, hot-bucket capped) feed large-star/small-star
+    connected components, and each document gets (cluster_id, is_canonical)
+    where the canonical survivor is the minimum doc_id of its component.
+
+    Scale shape: pair volume is bucket-bounded (the same cap the pair
+    query carries), CC shuffles only (long, long) edges and finishes on
+    the driver once the frontier fits (operators/clustering.py); the
+    corpus itself is scanned once for the shingle pass and once for the
+    singleton node set."""
+    from .operators.clustering import connected_components
+
+    pairs = _q_dedup_ngram_jaccard(spark, sf_dir)
+    docs = (load(spark, sf_dir, "documents")
+            .where(F.col("text").isNotNull()).select("doc_id"))
+    cc = connected_components(
+        pairs.select(F.col("doc_a").alias("id_a"),
+                     F.col("doc_b").alias("id_b")),
+        nodes=docs)
+    return cc.select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        (F.col("node") == F.col("component")).cast("int")
+        .alias("is_canonical"))
+
+
+_O_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE {_SQL_SHINGLES},
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+ok AS (SELECT sh FROM sh GROUP BY sh
+       HAVING count(*) BETWEEN 2 AND {_NGRAM_BUCKET_CAP}),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          WHERE a.sh IN (SELECT sh FROM ok)
+          GROUP BY 1, 2),
+pairs AS (SELECT doc_a, doc_b FROM inter
+          JOIN sizes na ON na.doc_id = doc_a
+          JOIN sizes nb ON nb.doc_id = doc_b
+          WHERE c * 1.0 / (na.n + nb.n - c) >= 0.2),
+e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs),
+reach(a, b) AS (SELECT a, b FROM e
+                UNION SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+comp AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+         FROM reach GROUP BY a),
+alldocs AS (SELECT doc_id FROM documents WHERE text IS NOT NULL),
+asg AS (SELECT doc_id, cluster_id FROM comp
+        UNION ALL
+        SELECT doc_id, doc_id AS cluster_id FROM alldocs
+        WHERE doc_id NOT IN (SELECT doc_id FROM comp))
+SELECT doc_id, cluster_id,
+       CAST(doc_id = cluster_id AS INTEGER) AS is_canonical
+FROM asg
+"""
+
+
+# Per-language sampling percentages (stratified down-sampling of
+# over-represented languages — the mix-balancing step of a pre-training
+# corpus build).  The hash is an explicit Knuth multiplicative residue so
+# BOTH engines compute it in plain BIGINT arithmetic (Spark's xxhash64 has
+# no DuckDB twin); doc_id * 2654435761 stays far under 2^63 for any
+# realistic id space fed per-partition.
+_SAMPLE_RATES = {"en": 60, "de": 30, "fr": 30, "es": 30}
+_SAMPLE_DEFAULT = 10
+
+
+def _q_sample_stratified(spark, sf_dir):
+    """Deterministic hash-bucket stratified sampler: keep a per-language
+    percentage of documents, reproducibly (same input row → same verdict
+    on every run, every executor, every engine).
+
+    Scale shape: map-only scan, zero shuffle, zero randomness — the keep
+    decision is a pure projection, so the sampler composes with predicate
+    pushdown and never materializes the dropped rows."""
+    docs = load(spark, sf_dir, "documents")
+    bucket = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(100))
+    rate = F.lit(_SAMPLE_DEFAULT)
+    for lang, pct in _SAMPLE_RATES.items():
+        rate = F.when(F.col("lang") == lang, pct).otherwise(rate)
+    return (docs.select("doc_id", "lang",
+                        bucket.cast("int").alias("bucket"),
+                        rate.cast("int").alias("rate_pct"))
+            .where(F.col("bucket") < F.col("rate_pct")))
+
+
+_O_SAMPLE_STRATIFIED = f"""
+WITH d AS (SELECT doc_id, lang,
+                  CAST((doc_id * 2654435761) % 100 AS INTEGER) AS bucket,
+                  CAST(CASE {' '.join(
+                      f"WHEN lang = '{lang}' THEN {pct}"
+                      for lang, pct in _SAMPLE_RATES.items())}
+                       ELSE {_SAMPLE_DEFAULT} END AS INTEGER) AS rate_pct
+           FROM documents)
+SELECT doc_id, lang, bucket, rate_pct FROM d WHERE bucket < rate_pct
+"""
+
+
+# ---------------------------------------------------------------------------
 # relational breadth (TPC-H-style + events windows)
 # ---------------------------------------------------------------------------
 
@@ -1802,6 +1984,9 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "doc_fingerprint": (_q_doc_fingerprint, _O_DOC_FINGERPRINT),
     "binary_features": (_q_binary_features, _O_BINARY_FEATURES),
     "media_frames": (_q_media_frames, _O_MEDIA_FRAMES),
+    "quality_filter": (_q_quality_filter, _O_QUALITY_FILTER),
+    "dedup_clusters": (_q_dedup_clusters, _O_DEDUP_CLUSTERS),
+    "sample_stratified": (_q_sample_stratified, _O_SAMPLE_STRATIFIED),
     "tpch_q1": (_q_tpch_q1, _O_TPCH_Q1),
     "tpch_q3": (_q_tpch_q3, _O_TPCH_Q3),
     "event_sessions": (_q_event_sessions, _O_EVENT_SESSIONS),
