@@ -1724,6 +1724,103 @@ SELECT doc_id, lang, bucket, rate_pct FROM d WHERE bucket < rate_pct
 """
 
 
+# Character-trigram language identification (Cavnar & Trenkle 1994-style
+# n-gram profiles, public).  Profiles are built from a deterministic 80%
+# train split (doc_id % 5 <> 0) of the corpus itself; prediction is the
+# profile with the most trigram hits, ties broken lexicographically.
+_LANGID_PROFILE_K = 100
+
+
+def _q_lang_id(spark, sf_dir):
+    """N-gram language ID: per-language top-K character-trigram profiles
+    → per-doc hit-count scoring → arg-max prediction, with the table's
+    own lang column as ground truth (the `correct` flag makes accuracy a
+    one-agg follow-up).
+
+    Fixture honesty: the synthetic documents share ONE vocabulary across
+    lang values (lang is random metadata), so `correct` hovers near the
+    1/5 chance floor by construction — the oracle checks the profile
+    build, broadcast scoring, and tie-breaking exactly, not
+    classification power; on genuinely multilingual text the same plan
+    discriminates (the standard Cavnar-Trenkle result).
+
+    Scale shape: the corpus is scanned ONCE into a trigram explode; the
+    profile build aggregates that explode to (lang, trigram) counts and
+    keeps top-K per language — a ~langs×K row table that BROADCASTS to
+    the scoring join, so scoring is a map-side hash probe plus two narrow
+    aggregations and the arg-max is a WindowGroupLimit (no global sort,
+    no wide shuffle beyond the per-doc score agg).  At 10^12 docs the
+    profile build would subsample the train split; the join/agg shape is
+    unchanged."""
+    from pyspark.sql import Window
+
+    docs = (load(spark, sf_dir, "documents")
+            .where(F.col("text").isNotNull())
+            .select("doc_id", "lang", F.lower("text").alias("t")))
+    # the fixture documents table is ONE parquet file — fan the trigram
+    # explode out to the session parallelism (same rationale as
+    # operators/compound._parallel_select; an at-scale table keeps its
+    # partitioning, no shuffle added)
+    dp = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < dp:
+        docs = docs.repartition(dp)
+    # explode positions then slice at TOP level (whole-stage codegen) —
+    # a lambda inside transform() stays interpreted per element
+    tg = (docs.where(F.length("t") >= 3)
+          .select("doc_id", "lang", "t",
+                  F.explode(F.sequence(F.lit(1), F.length("t") - F.lit(2)))
+                  .alias("i"))
+          .select("doc_id", "lang",
+                  F.expr("substring(t, i, 3)").alias("g")))
+    w_prof = Window.partitionBy("lang").orderBy(F.desc("c"), "g")
+    prof = (tg.where(F.col("doc_id") % 5 != 0)
+            .groupBy("lang", "g").agg(F.count(F.lit(1)).alias("c"))
+            .withColumn("rn", F.row_number().over(w_prof))
+            .where(F.col("rn") <= _LANGID_PROFILE_K)
+            .select(F.col("lang").alias("cand"), "g"))
+    sc = (tg.join(F.broadcast(prof), "g")
+          .groupBy("doc_id", "cand").agg(F.count(F.lit(1)).alias("score")))
+    w_best = Window.partitionBy("doc_id").orderBy(F.desc("score"), "cand")
+    best = (sc.withColumn("rn", F.row_number().over(w_best))
+            .where(F.col("rn") == 1)
+            .select("doc_id", F.col("cand").alias("pred_lang")))
+    return (docs.select("doc_id", F.col("lang").alias("true_lang"))
+            .join(best, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("pred_lang", F.lit("und")).alias("pred_lang"),
+                    "true_lang",
+                    (F.coalesce("pred_lang", F.lit("und"))
+                     == F.col("true_lang")).cast("int").alias("correct")))
+
+
+_O_LANG_ID = f"""
+WITH d AS (SELECT doc_id, lang, lower(text) AS t
+           FROM documents WHERE text IS NOT NULL),
+pos AS (SELECT unnest(range(1, (SELECT coalesce(max(length(t)), 2) - 1
+                                FROM d))) AS i),
+tg AS (SELECT doc_id, lang, substr(t, i, 3) AS g
+       FROM d, pos WHERE i + 2 <= length(t)),
+prof AS (SELECT lang AS cand, g FROM (
+             SELECT lang, g, count(*) AS c,
+                    row_number() OVER (PARTITION BY lang
+                                       ORDER BY count(*) DESC, g) AS rn
+             FROM tg WHERE doc_id % 5 <> 0 GROUP BY lang, g)
+         WHERE rn <= {_LANGID_PROFILE_K}),
+sc AS (SELECT t.doc_id, p.cand, count(*) AS score
+       FROM tg t JOIN prof p ON t.g = p.g GROUP BY 1, 2),
+best AS (SELECT doc_id, cand AS pred_lang FROM (
+             SELECT doc_id, cand,
+                    row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY score DESC, cand) AS rn
+             FROM sc)
+         WHERE rn = 1)
+SELECT d.doc_id, coalesce(b.pred_lang, 'und') AS pred_lang,
+       d.lang AS true_lang,
+       CAST(coalesce(b.pred_lang, 'und') = d.lang AS INTEGER) AS correct
+FROM d LEFT JOIN best b ON d.doc_id = b.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # relational breadth (TPC-H-style + events windows)
 # ---------------------------------------------------------------------------
@@ -1987,6 +2084,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "quality_filter": (_q_quality_filter, _O_QUALITY_FILTER),
     "dedup_clusters": (_q_dedup_clusters, _O_DEDUP_CLUSTERS),
     "sample_stratified": (_q_sample_stratified, _O_SAMPLE_STRATIFIED),
+    "lang_id": (_q_lang_id, _O_LANG_ID),
     "tpch_q1": (_q_tpch_q1, _O_TPCH_Q1),
     "tpch_q3": (_q_tpch_q3, _O_TPCH_Q3),
     "event_sessions": (_q_event_sessions, _O_EVENT_SESSIONS),
