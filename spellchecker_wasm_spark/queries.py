@@ -1558,11 +1558,13 @@ def _q_quality_filter(spark, sf_dir):
     """Per-document quality scoring + keep/drop rule chain.
 
     Scale shape: one narrow map-only projection over the corpus — every
-    statistic folds over the per-row token array inside whole-stage
-    codegen (no explode, no shuffle, no Python), so at 10^12 docs this is
-    a pure scan whose cost is the parquet read.  The filter chain is the
-    standard pre-training curation gate (word-count window, mean word
-    length, short-word fraction, max word length, stopword evidence)."""
+    statistic folds over the per-row token array JVM-side in a single
+    stage (no explode, no shuffle, no Python; the array folds are
+    interpreted higher-order expressions, the rule casts are codegen'd),
+    so at 10^12 docs this is a pure scan whose cost is the parquet read.
+    The filter chain is the standard pre-training curation gate
+    (word-count window, mean word length, short-word fraction, max word
+    length, stopword evidence)."""
     docs = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     d = docs.select(
         "doc_id",
@@ -1760,13 +1762,14 @@ def _q_lang_id(spark, sf_dir):
     # the fixture documents table is ONE parquet file — fan the trigram
     # explode out to the session parallelism (same rationale as
     # operators/compound._parallel_select; an at-scale table keeps its
-    # partitioning, no shuffle added)
+    # partitioning, no shuffle added).  Only the explode SOURCE is
+    # repartitioned: the final output join reads `docs` directly so the
+    # fan-out exchange never stacks under the join's own exchange.
     dp = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < dp:
-        docs = docs.repartition(dp)
+    src = docs.repartition(dp) if docs.rdd.getNumPartitions() < dp else docs
     # explode positions then slice at TOP level (whole-stage codegen) —
     # a lambda inside transform() stays interpreted per element
-    tg = (docs.where(F.length("t") >= 3)
+    tg = (src.where(F.length("t") >= 3)
           .select("doc_id", "lang", "t",
                   F.explode(F.sequence(F.lit(1), F.length("t") - F.lit(2)))
                   .alias("i"))
