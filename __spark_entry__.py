@@ -76,5 +76,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL equivalent for each query (same column
-    names/types; value-deterministic floats)."""
-    return {name: sql for name, (_, sql) in CATALOG.items() if sql is not None}
+    names/types; value-deterministic floats).  Callable oracle entries
+    generate their SQL for the driver's comparison scale factor
+    (sf0.01 per the driver contract; SPARK_GRAFT_ORACLE_SF_DIR
+    overrides for local runs at other SFs)."""
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR",
+                            "/root/testdata/sf0.01")
+    return {name: (sql(sf_dir) if callable(sql) else sql)
+            for name, (_, sql) in CATALOG.items() if sql is not None}

@@ -14,6 +14,8 @@ Token definition shared by both sides: split on single space, drop empties.
 
 from __future__ import annotations
 
+import functools
+
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -1451,9 +1453,17 @@ FROM decomp WHERE n = 1
 
 
 def _q_compound_correct(spark, sf_dir):
-    """The unconstrained lookup_compound API over real document text —
-    rows-only driver check (no SQL oracle can express the combi path;
-    golden-tested against the reference in the kernel suite)."""
+    """The unconstrained lookup_compound API over real document text.
+
+    Oracle (round 3, VERDICT r2 #1 route b): the merge/combi control flow
+    is not SQL-expressible, so the oracle is a VALUES table precomputed
+    by a single-threaded scalar run of the golden-tested kernel over
+    dictionaries derived INDEPENDENTLY in DuckDB (_oracle_compound_
+    correct below).  What the comparison pins is exactly the distributed
+    machinery this query adds on top of the kernel: the bounded
+    threshold-filtered dictionary collect, broadcast hydration, Arrow
+    batching, and the banded batch final-assembly OSA — any divergence
+    there breaks the row."""
     from .operators.compound import compound_correct
     docs = (load(spark, sf_dir, "documents")
             .where(F.col("text").isNotNull())
@@ -1466,6 +1476,42 @@ def _q_compound_correct(spark, sf_dir):
     return out.select("doc_id", "corrected",
                       F.col("distance").cast("int").alias("distance"),
                       "count")
+
+
+@functools.lru_cache(maxsize=4)
+def _oracle_compound_correct(sf_dir: str) -> str:
+    """Generate compound_correct's oracle as a literal VALUES table:
+    dictionaries are rebuilt from the parquet by DUCKDB (the same SQL
+    shapes the word_counts/bigram_counts oracle rows prove equal to the
+    Spark aggregations), then the repo's scalar kernel — itself pinned to
+    the reference by the golden suite (sym_spell.rs:533-564,
+    SpellcheckerWasm.spec.ts:62-72) — runs lookup_compound per document
+    on the driver, single-threaded, with none of the distributed
+    operator's collect/broadcast/batching code in the loop."""
+    import duckdb
+
+    from .operators.compound import kernel_from_counts
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"'{sf_dir}/documents.parquet'")
+    words = dict(con.sql(
+        f"SELECT term, count(*) FROM ({_SQL_TOKS_NE}) "
+        "WHERE length(term) >= 2 GROUP BY term").fetchall())
+    bigrams = dict(con.sql(_O_BIGRAM_COUNTS).fetchall())
+    docs = con.sql("SELECT doc_id, lower(text) FROM documents "
+                   "WHERE text IS NOT NULL ORDER BY doc_id").fetchall()
+    kernel = kernel_from_counts(words, bigrams, 2, 7)
+    vals = []
+    for doc_id, text in docs:
+        item = kernel.lookup_compound(text, 2)[0]
+        esc = item.term.replace("'", "''")
+        vals.append(f"({doc_id}, '{esc}', {item.distance}, {item.count})")
+    return ("SELECT CAST(doc_id AS BIGINT) AS doc_id, corrected, "
+            "CAST(distance AS INTEGER) AS distance, "
+            "CAST(count AS BIGINT) AS count FROM (VALUES "
+            + ",\n".join(vals)
+            + ") AS t(doc_id, corrected, distance, count)")
 
 
 _FRAME_CHARS = 256
@@ -2042,7 +2088,11 @@ def _q_stream_event_sessions(spark, sf_dir):
                  F.max("n_sessions").alias("n_sessions")))
 
 
-CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+# oracle field: a literal SQL string, a callable (sf_dir) -> SQL for
+# oracles whose expected values are precomputed per scale factor
+# (compound_correct), or None for a rows-only contract entry
+CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
+                         str | Callable[[str], str] | None]] = {
     "word_counts": (_q_word_counts, _O_WORD_COUNTS),
     "bigram_counts": (_q_bigram_counts, _O_BIGRAM_COUNTS),
     "parse_words_tokens": (_q_parse_words, _o_parse_words_sql()),
@@ -2065,7 +2115,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "compound_known": (_q_compound_known, _O_COMPOUND_KNOWN),
     "compound_split": (_q_compound_split, _O_COMPOUND_SPLIT),
     "compound_merge": (_q_compound_merge, _O_COMPOUND_MERGE),
-    "compound_correct": (_q_compound_correct, None),
+    "compound_correct": (_q_compound_correct, _oracle_compound_correct),
     "word_segmentation": (_q_word_segmentation, _O_WORD_SEGMENTATION),
     "dictionary_export": (_q_dictionary_export, _O_DICTIONARY_EXPORT),
     "dedup_exact": (_q_dedup_exact, _O_DEDUP_EXACT),

@@ -1,0 +1,88 @@
+"""Non-vacuousness guards for the training-data curation suite: the
+catalog parity test proves Spark == DuckDB, but both could agree on a
+degenerate answer (every rule always-true, zero clusters).  These checks
+run the ORACLE side only (no Spark session — fast) and pin that the
+fixture actually exercises the interesting branches at both local SFs."""
+
+import os
+
+import duckdb
+import pytest
+
+from spellchecker_wasm_spark.queries import CATALOG, TABLES
+
+SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+
+
+def _con(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * "
+                f"FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_quality_rules_bite(sf_dir):
+    """Every quality rule must reject at least one doc and keep at least
+    one doc (r_maxlen included — thresholds are tuned to the fixture),
+    and the final keep flag must split the corpus."""
+    sql = CATALOG["quality_filter"][1]
+    con = _con(sf_dir)
+    for col in ["r_words", "r_mean", "r_short", "r_maxlen", "r_stop",
+                "keep"]:
+        lo, hi = con.sql(
+            f"SELECT min({col}), max({col}) FROM ({sql})").fetchone()
+        assert (lo, hi) == (0, 1), (col, lo, hi)
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_dedup_clusters_nontrivial(sf_dir):
+    """At least one multi-document cluster exists, singletons are their
+    own canonical, and every cluster has exactly one canonical doc."""
+    sql = CATALOG["dedup_clusters"][1]
+    con = _con(sf_dir)
+    multi = con.sql(
+        f"SELECT count(*) FROM (SELECT cluster_id FROM ({sql}) "
+        "GROUP BY cluster_id HAVING count(*) >= 2)").fetchone()[0]
+    assert multi >= 1
+    bad = con.sql(
+        f"SELECT count(*) FROM (SELECT cluster_id FROM ({sql}) "
+        "GROUP BY cluster_id HAVING sum(is_canonical) <> 1)").fetchone()[0]
+    assert bad == 0
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_sample_rates_converge(sf_dir):
+    """Per-language realized sampling rates track the configured
+    percentages (hash-bucket sampling is exact in expectation; allow a
+    generous tolerance at fixture sizes), and the sample is a proper
+    subset."""
+    sql = CATALOG["sample_stratified"][1]
+    con = _con(sf_dir)
+    rows = con.sql(
+        "SELECT d.lang, any_value(s.rate_pct), "
+        "       count(s.doc_id) * 100.0 / count(*) "
+        f"FROM documents d LEFT JOIN ({sql}) s ON d.doc_id = s.doc_id "
+        "GROUP BY d.lang").fetchall()
+    assert rows
+    for lang, rate, realized in rows:
+        assert abs(realized - rate) <= 15, (lang, rate, realized)
+    total, kept = con.sql(
+        f"SELECT (SELECT count(*) FROM documents), "
+        f"(SELECT count(*) FROM ({sql}))").fetchone()
+    assert 0 < kept < total
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_lang_id_profiles_nontrivial(sf_dir):
+    """Every document gets a real prediction (profiles cover the corpus:
+    no 'und' fallback rows at these SFs) and more than one language is
+    predicted (no degenerate constant argmax)."""
+    sql = CATALOG["lang_id"][1]
+    con = _con(sf_dir)
+    und, langs = con.sql(
+        f"SELECT sum(CASE WHEN pred_lang = 'und' THEN 1 ELSE 0 END), "
+        f"count(DISTINCT pred_lang) FROM ({sql})").fetchone()
+    assert und == 0
+    assert langs >= 2

@@ -38,6 +38,8 @@ def _rows(cols, rows):
 @pytest.mark.parametrize("name", sorted(CATALOG))
 def test_query_matches_oracle(spark, ddb, name):
     fn, sql = CATALOG[name]
+    if callable(sql):  # per-SF generated oracle (e.g. compound_correct)
+        sql = sql(SF_DIR)
     sdf = fn(spark, SF_DIR)
     srows = [tuple(r) for r in sdf.collect()]
     scols = sdf.columns
@@ -60,5 +62,7 @@ def test_catalog_queries_nonempty(spark, ddb):
     rows at this SF (a correctness gate over empty sets proves nothing)."""
     empty = [name for name, (_, sql) in CATALOG.items()
              if sql is not None
-             and not ddb.sql(f"SELECT 1 FROM ({sql}) LIMIT 1").fetchall()]
+             and not ddb.sql(
+                 f"SELECT 1 FROM ({sql(SF_DIR) if callable(sql) else sql}) "
+                 "LIMIT 1").fetchall()]
     assert not empty, f"queries with empty results: {empty}"
