@@ -1772,6 +1772,149 @@ SELECT doc_id, lang, bucket, rate_pct FROM d WHERE bucket < rate_pct
 """
 
 
+# Gopher-style repetition filters (Rae et al. 2021 §A1.1, public):
+# excessive repetition is the highest-precision single signal for
+# machine-generated / boilerplate web text.  Thresholds bite on the
+# fixture (dup-word fraction 0-0.72 median 0.54, top-bigram fraction
+# 0.011-0.167 median 0.033, max identical-word run 1-4 median 2).
+def _q_repetition_stats(spark, sf_dir):
+    """Per-document repetition signals + rule chain: duplicate-word
+    fraction, most-frequent-bigram mass fraction, and the longest run of
+    identical adjacent words (gaps-and-islands over a position explode).
+
+    Scale shape: one corpus scan feeds three branches — an array-fold
+    projection (dup fraction, no shuffle), a per-doc bigram count
+    aggregation (one narrow shuffle on doc_id+bigram then doc_id), and
+    the run-length computation, whose window partitions by
+    (doc_id, term) so state per window is a row counter, never the
+    document.  All JVM-side; the final assembly is two doc_id joins that
+    AQE plans as broadcasts at fixture scale and co-partitioned shuffles
+    at 10^12 docs."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    arrs = (docs.select("doc_id", F.expr(
+        "filter(split(text, ' '), x -> x <> '')").alias("w"))
+        .where(F.size("w") >= 2))
+    base = arrs.select(
+        "doc_id", F.size("w").alias("n_words"),
+        (F.lit(1.0) - F.size(F.array_distinct("w")) / F.size("w"))
+        .alias("dup_word_frac"))
+    bg = arrs.select("doc_id", F.explode(F.expr(
+        "zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1), "
+        "(a, b) -> concat(a, ' ', b))")).alias("b"))
+    tb = (bg.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("c"))
+          .groupBy("doc_id")
+          .agg((F.max("c") / F.sum("c")).alias("top_bigram_frac")))
+    toks = arrs.select("doc_id", F.posexplode("w").alias("i", "term"))
+    w_run = Window.partitionBy("doc_id", "term").orderBy("i")
+    runs = toks.select(
+        "doc_id", "term",
+        (F.col("i") - F.row_number().over(w_run)).alias("grp"))
+    mr = (runs.groupBy("doc_id", "term", "grp")
+          .agg(F.count(F.lit(1)).alias("c"))
+          .groupBy("doc_id").agg(F.max("c").cast("int").alias("max_run")))
+    out = base.join(tb, "doc_id").join(mr, "doc_id")
+    r_dup = F.col("dup_word_frac") <= 0.6
+    r_bigram = F.col("top_bigram_frac") <= 0.05
+    r_run = F.col("max_run") <= 2
+    return out.select(
+        "doc_id", "n_words", "dup_word_frac", "top_bigram_frac", "max_run",
+        r_dup.cast("int").alias("r_dup"),
+        r_bigram.cast("int").alias("r_bigram"),
+        r_run.cast("int").alias("r_run"),
+        (r_dup & r_bigram & r_run).cast("int").alias("keep"))
+
+
+_O_REPETITION_STATS = """
+WITH arrs AS (SELECT doc_id,
+                     list_filter(string_split(text, ' '), x -> x <> '') AS l
+              FROM documents WHERE text IS NOT NULL),
+a2 AS (SELECT doc_id, l FROM arrs WHERE len(l) >= 2),
+base AS (SELECT doc_id, CAST(len(l) AS INTEGER) AS n_words,
+                1.0 - len(list_distinct(l)) * 1.0 / len(l) AS dup_word_frac
+         FROM a2),
+pos AS (SELECT unnest(range(1, (SELECT coalesce(max(len(l)), 1) + 1
+                                FROM a2))) AS i),
+bg AS (SELECT doc_id, concat(l[i], ' ', l[i + 1]) AS b
+       FROM a2, pos WHERE pos.i < len(l)),
+tb AS (SELECT doc_id, max(c) * 1.0 / sum(c) AS top_bigram_frac
+       FROM (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2)
+       GROUP BY doc_id),
+toks AS (SELECT doc_id, i, l[i] AS term FROM a2, pos WHERE pos.i <= len(l)),
+runs AS (SELECT doc_id, term,
+                i - row_number() OVER (PARTITION BY doc_id, term
+                                       ORDER BY i) AS grp
+         FROM toks),
+mr AS (SELECT doc_id, CAST(max(c) AS INTEGER) AS max_run
+       FROM (SELECT doc_id, count(*) AS c FROM runs
+             GROUP BY doc_id, term, grp)
+       GROUP BY doc_id)
+SELECT base.doc_id, n_words, dup_word_frac, top_bigram_frac, max_run,
+       CAST(dup_word_frac <= 0.6 AS INTEGER) AS r_dup,
+       CAST(top_bigram_frac <= 0.05 AS INTEGER) AS r_bigram,
+       CAST(max_run <= 2 AS INTEGER) AS r_run,
+       CAST(dup_word_frac <= 0.6 AND top_bigram_frac <= 0.05
+            AND max_run <= 2 AS INTEGER) AS keep
+FROM base
+JOIN tb ON tb.doc_id = base.doc_id
+JOIN mr ON mr.doc_id = base.doc_id
+"""
+
+
+_TFIDF_TOPK = 5
+
+
+def _q_tfidf_topk(spark, sf_dir):
+    """Per-document top-K salient terms by a rational tf-idf (score =
+    tf * (N + 1) / (df + 1) — multiply-then-divide, both IEEE-exact, so
+    the two engines agree bit-for-bit; a transcendental log() would not).
+
+    Scale shape: ONE token aggregation feeds both sides — tf is the
+    (doc_id, term) count, df re-aggregates it by term (map-side partial
+    on an already-shuffled frame), N is a scalar broadcast — and the
+    per-doc top-K is a WindowGroupLimit over (score DESC, term), never a
+    global sort.  The df table is vocabulary-sized; at web scale it
+    stays a shuffle join on term, co-partitioned with tf by
+    construction."""
+    from pyspark.sql import Window
+
+    toks = _tokens(spark, sf_dir)
+    tf = (toks.groupBy("doc_id", "term")
+          .agg(F.count(F.lit(1)).alias("tf")))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = (load(spark, sf_dir, "documents")
+              .where(F.col("text").isNotNull())
+              .select(F.countDistinct("doc_id").alias("n")))
+    scored = (tf.join(df_, "term").crossJoin(F.broadcast(n_docs))
+              .select("doc_id", "term", "tf", "df",
+                      ((F.col("tf") * (F.col("n") + F.lit(1.0)))
+                       / (F.col("df") + F.lit(1.0))).alias("score")))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "term")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= _TFIDF_TOPK)
+            .select("doc_id", "term", "tf", "df", "score",
+                    F.col("rank").cast("int").alias("rank")))
+
+
+_O_TFIDF_TOPK = f"""
+WITH toks AS ({_SQL_TOKS_NE}),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       FROM toks GROUP BY doc_id, term),
+df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+n AS (SELECT count(DISTINCT doc_id) AS n FROM documents
+      WHERE text IS NOT NULL),
+scored AS (SELECT doc_id, tf.term, tf, df,
+                  (tf * (n + 1.0)) / (df + 1.0) AS score
+           FROM tf JOIN df ON tf.term = df.term CROSS JOIN n),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY score DESC, term) AS rank
+           FROM scored)
+SELECT doc_id, term, tf, df, score, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= {_TFIDF_TOPK}
+"""
+
+
 # Character-trigram language identification (Cavnar & Trenkle 1994-style
 # n-gram profiles, public).  Profiles are built from a deterministic 80%
 # train split (doc_id % 5 <> 0) of the corpus itself; prediction is the
@@ -2138,6 +2281,8 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     "dedup_clusters": (_q_dedup_clusters, _O_DEDUP_CLUSTERS),
     "sample_stratified": (_q_sample_stratified, _O_SAMPLE_STRATIFIED),
     "lang_id": (_q_lang_id, _O_LANG_ID),
+    "repetition_stats": (_q_repetition_stats, _O_REPETITION_STATS),
+    "tfidf_topk": (_q_tfidf_topk, _O_TFIDF_TOPK),
     "tpch_q1": (_q_tpch_q1, _O_TPCH_Q1),
     "tpch_q3": (_q_tpch_q3, _O_TPCH_Q3),
     "event_sessions": (_q_event_sessions, _O_EVENT_SESSIONS),

@@ -86,3 +86,34 @@ def test_lang_id_profiles_nontrivial(sf_dir):
         f"count(DISTINCT pred_lang) FROM ({sql})").fetchone()
     assert und == 0
     assert langs >= 2
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_repetition_rules_bite(sf_dir):
+    """Every repetition rule must reject and keep at least one doc, and
+    the combined keep flag must split the corpus."""
+    sql = CATALOG["repetition_stats"][1]
+    con = _con(sf_dir)
+    for col in ["r_dup", "r_bigram", "r_run", "keep"]:
+        lo, hi = con.sql(
+            f"SELECT min({col}), max({col}) FROM ({sql})").fetchone()
+        assert (lo, hi) == (0, 1), (col, lo, hi)
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_tfidf_topk_shape(sf_dir):
+    """Exactly K ranked rows per doc (vocab is larger than K at every
+    SF), ranks are 1..K, and scores are non-increasing within a doc."""
+    sql = CATALOG["tfidf_topk"][1]
+    con = _con(sf_dir)
+    bad_k = con.sql(
+        f"SELECT count(*) FROM (SELECT doc_id FROM ({sql}) GROUP BY doc_id "
+        "HAVING count(*) <> 5 OR min(rank) <> 1 OR max(rank) <> 5)"
+    ).fetchone()[0]
+    assert bad_k == 0
+    unsorted = con.sql(
+        f"SELECT count(*) FROM (SELECT doc_id, score, "
+        "lag(score) OVER (PARTITION BY doc_id ORDER BY rank) AS prev "
+        f"FROM ({sql})) WHERE prev IS NOT NULL AND prev < score"
+    ).fetchone()[0]
+    assert unsorted == 0
