@@ -115,8 +115,16 @@ def connected_components(edges: DataFrame, src_col: str = "id_a",
             .where(F.col("src").isNotNull() & F.col("dst").isNotNull()))
     # threshold decision on the RAW edge count (upper bound on distinct):
     # the driver path skips the distinct shuffle entirely — union-find
-    # absorbs duplicate edges for free
-    e = base
+    # absorbs duplicate edges for free.
+    # The slim (src, dst) frame is PERSISTED for the first round: the
+    # threshold count and the subsequent consumer (Arrow collect on the
+    # driver path, distinct+checkpoint on the distributed path) would
+    # otherwise each re-evaluate the caller's edge subtree — for an
+    # expensive producer (dedup_clusters' inverted-index Jaccard pairs)
+    # that doubled the whole query.  16 B/edge, spills to disk at scale —
+    # the same materialization production CC systems start from.
+    e = base.persist()
+    src_cache = e
     assign = None
     prev_fp = None
     first_round = True
@@ -126,10 +134,15 @@ def connected_components(edges: DataFrame, src_col: str = "id_a",
             # distinct + checkpoint only when distributed rounds will run
             e = e.distinct().localCheckpoint(eager=True)
             n_edges = e.count()
+            src_cache.unpersist()
+            src_cache = None
         first_round = False
         if n_edges <= driver_finish_threshold:
             # Arrow collect: two flat int64 columns, not 100+B Row objects
             pdf = e.toPandas()
+            if src_cache is not None:
+                src_cache.unpersist()
+                src_cache = None
             comp = _driver_union_find(
                 zip(pdf["src"].tolist(), pdf["dst"].tolist()))
             schema = T.StructType([T.StructField("node", node_type),
