@@ -2098,6 +2098,39 @@ FROM g GROUP BY user_id
 """
 
 
+def _q_event_props_json(spark, sf_dir):
+    """Semi-structured extraction: pull a typed field out of the events
+    table's JSON `props` column and aggregate it per event type — the
+    standard log-analytics shape (JSON parse happens INSIDE the scan
+    stage projection, so the aggregation shuffles only the 5-row-bounded
+    group keys; k_avg is an explicit sum/count division so both engines
+    round identically)."""
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (ev.select("event_type", k.alias("k"))
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum("k").alias("k_sum"),
+                 F.min("k").alias("k_min"),
+                 F.max("k").alias("k_max"))
+            .withColumn("k_avg", F.col("k_sum") / F.col("n_events")))
+
+
+_O_EVENT_PROPS_JSON = """
+WITH e AS (SELECT event_type,
+                  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+           FROM events),
+s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(k) AS BIGINT) AS k_sum,
+             CAST(min(k) AS INTEGER) AS k_min,
+             CAST(max(k) AS INTEGER) AS k_max
+      FROM e GROUP BY event_type)
+SELECT event_type, n_events, k_sum, k_min, k_max,
+       k_sum * 1.0 / n_events AS k_avg
+FROM s
+"""
+
+
 def _q_event_type_topk(spark, sf_dir):
     from pyspark.sql import Window
     ev = load(spark, sf_dir, "events")
@@ -2286,6 +2319,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     "tpch_q1": (_q_tpch_q1, _O_TPCH_Q1),
     "tpch_q3": (_q_tpch_q3, _O_TPCH_Q3),
     "event_sessions": (_q_event_sessions, _O_EVENT_SESSIONS),
+    "event_props_json": (_q_event_props_json, _O_EVENT_PROPS_JSON),
     "stream_dedup_exact": (_q_stream_dedup_exact, _O_DEDUP_EXACT),
     "stream_event_sessions": (_q_stream_event_sessions, _O_EVENT_SESSIONS),
     "event_type_topk": (_q_event_type_topk, _O_EVENT_TYPE_TOPK),
