@@ -2131,6 +2131,77 @@ FROM s
 """
 
 
+def _q_asof_clicks(spark, sf_dir):
+    """Backward as-of join (operators/asof.py): each purchase event gets
+    the user's most recent click at or before it, plus the gap in exact
+    integer microseconds.  INNER as-of semantics (purchases with no prior
+    click drop) so every output column is non-null — null timestamps are
+    unorderable in the driver's row-sort compare.  The oracle is DuckDB's
+    NATIVE ASOF JOIN — an independent implementation of the same
+    semantics, including the at-or-before tie rule."""
+    from .operators.asof import asof_join
+    ev = load(spark, sf_dir, "events")
+    purchases = (ev.where(F.col("event_type") == "purchase")
+                 .select("event_id", "user_id", "ts"))
+    clicks = (ev.where(F.col("event_type") == "click")
+              .select("user_id", "ts"))
+    j = asof_join(purchases, clicks, on=["user_id"],
+                  left_ts="ts", right_ts="ts", ts_alias="click_ts")
+    gap = (F.unix_micros(F.col("ts").cast("timestamp"))
+           - F.unix_micros(F.col("click_ts").cast("timestamp")))
+    return (j.where(F.col("click_ts").isNotNull())
+            .select("event_id", "user_id", "ts", "click_ts",
+                    gap.alias("gap_us")))
+
+
+_O_ASOF_CLICKS = """
+SELECT p.event_id, p.user_id, p.ts, c.ts AS click_ts,
+       CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS gap_us
+FROM (SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'purchase') p
+ASOF JOIN (SELECT user_id, ts FROM events
+           WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+def _q_user_rolling(spark, sf_dir):
+    """Trailing 10-minute per-user rolling aggregates — the range-frame
+    window (RANGE BETWEEN n PRECEDING) over event time, ordered by exact
+    epoch microseconds.  Monetary values aggregate as integer cents
+    (round(value*100) as BIGINT) so the rolling sum is exact in any
+    accumulation order — a rolling sum of doubles would be
+    last-bit-sensitive to the engine's incremental-aggregation order.
+
+    Scale shape: one shuffle on user_id, then a single ordered pass per
+    partition (range frames advance two pointers; state is the in-window
+    aggregate)."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id", "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ord"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"))
+    w = (Window.partitionBy("user_id").orderBy("ord")
+         .rangeBetween(-600_000_000, 0))
+    return base.select(
+        "event_id", "user_id",
+        F.count(F.lit(1)).over(w).alias("n_10m"),
+        F.sum("cents").over(w).alias("sum_cents_10m"))
+
+
+_O_USER_ROLLING = """
+SELECT event_id, user_id,
+       CAST(count(*) OVER w AS BIGINT) AS n_10m,
+       CAST(sum(cents) OVER w AS BIGINT) AS sum_cents_10m
+FROM (SELECT event_id, user_id, epoch_us(ts) AS ord,
+             CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+WINDOW w AS (PARTITION BY user_id ORDER BY ord
+             RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
+"""
+
+
 def _q_event_type_topk(spark, sf_dir):
     from pyspark.sql import Window
     ev = load(spark, sf_dir, "events")
@@ -2320,6 +2391,8 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     "tpch_q3": (_q_tpch_q3, _O_TPCH_Q3),
     "event_sessions": (_q_event_sessions, _O_EVENT_SESSIONS),
     "event_props_json": (_q_event_props_json, _O_EVENT_PROPS_JSON),
+    "asof_clicks": (_q_asof_clicks, _O_ASOF_CLICKS),
+    "user_rolling": (_q_user_rolling, _O_USER_ROLLING),
     "stream_dedup_exact": (_q_stream_dedup_exact, _O_DEDUP_EXACT),
     "stream_event_sessions": (_q_stream_event_sessions, _O_EVENT_SESSIONS),
     "event_type_topk": (_q_event_type_topk, _O_EVENT_TYPE_TOPK),
