@@ -2335,6 +2335,50 @@ def _q_stream_event_sessions(spark, sf_dir):
                  F.max("n_sessions").alias("n_sessions")))
 
 
+def _q_stream_windowed_counts(spark, sf_dir):
+    """Event-time tumbling-window counts as a STREAM
+    (streaming/ingest.windowed_event_counts: watermark + window + agg)
+    over the two-micro-batch fixture, complete-mode so every window
+    emits its final value — provably equal to the batch tumbling-window
+    aggregation the oracle computes (epoch-floored 10-minute buckets,
+    money as exact integer cents)."""
+    import uuid
+
+    from .streaming.ingest import windowed_event_counts
+
+    schema = load(spark, sf_dir, "events").schema
+    path = _stream_two_file_source(spark, sf_dir, "events", "ts")
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(path + "/*"))
+    agg = windowed_event_counts(stream, window="10 minutes")
+    name = "stream_wc_" + uuid.uuid4().hex[:8]
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (agg.writeStream.format("memory").queryName(name)
+             .outputMode("complete").trigger(availableNow=True).start())
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return (spark.table(name)
+            .select(F.col("window_start").cast("timestamp_ntz")
+                    .alias("window_start"),
+                    "event_type", "n", "value_cents"))
+
+
+_O_STREAM_WINDOWED_COUNTS = """
+WITH e AS (SELECT make_timestamp(CAST(floor(epoch(ts) / 600) * 600
+                                      AS BIGINT) * 1000000)
+               AS window_start,
+                  event_type,
+                  CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events)
+SELECT window_start, event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(cents) AS BIGINT) AS value_cents
+FROM e GROUP BY 1, 2
+"""
+
+
 # oracle field: a literal SQL string, a callable (sf_dir) -> SQL for
 # oracles whose expected values are precomputed per scale factor
 # (compound_correct), or None for a rows-only contract entry
@@ -2395,5 +2439,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     "user_rolling": (_q_user_rolling, _O_USER_ROLLING),
     "stream_dedup_exact": (_q_stream_dedup_exact, _O_DEDUP_EXACT),
     "stream_event_sessions": (_q_stream_event_sessions, _O_EVENT_SESSIONS),
+    "stream_windowed_counts": (_q_stream_windowed_counts,
+                               _O_STREAM_WINDOWED_COUNTS),
     "event_type_topk": (_q_event_type_topk, _O_EVENT_TYPE_TOPK),
 }
