@@ -2071,6 +2071,67 @@ LIMIT 10
 """
 
 
+def _q_lineitem_rollup(spark, sf_dir):
+    """Hierarchical subtotals via ROLLUP (returnflag → linestatus →
+    grand total): the multi-grouping plan Spark expands with an Expand
+    node feeding ONE hash aggregation — cheaper than three separate
+    scans/aggs.  Grouping-null keys are coalesced to a sentinel on both
+    engines (null group keys are unorderable in the row-sort compare);
+    money sums as exact integer cents."""
+    li = load(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    out = (li.select("l_returnflag", "l_linestatus", cents.alias("cents"))
+           .rollup("l_returnflag", "l_linestatus")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum("cents").alias("price_cents"),
+                F.grouping_id().alias("level")))
+    return out.select(
+        F.coalesce("l_returnflag", F.lit("[all]")).alias("returnflag"),
+        F.coalesce("l_linestatus", F.lit("[all]")).alias("linestatus"),
+        F.col("level").cast("int").alias("level"), "n", "price_cents")
+
+
+_O_LINEITEM_ROLLUP = """
+SELECT coalesce(l_returnflag, '[all]') AS returnflag,
+       coalesce(l_linestatus, '[all]') AS linestatus,
+       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus)
+            AS INTEGER) AS level,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS price_cents
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+_PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def _q_event_pivot(spark, sf_dir):
+    """Wide-format per-user event counts via PIVOT with an EXPLICIT value
+    list (an implicit pivot would trigger a distinct-values job at plan
+    time and make the output schema data-dependent — both wrong at
+    scale).  One shuffle on user_id; each pivot cell is a map-side
+    conditional count."""
+    ev = load(spark, sf_dir, "events")
+    out = (ev.groupBy("user_id")
+           .pivot("event_type", list(_PIVOT_TYPES))
+           .agg(F.count(F.lit(1))))
+    return out.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(f"n_{t}")
+          for t in _PIVOT_TYPES])
+
+
+_O_EVENT_PIVOT = f"""
+SELECT user_id,
+       {", ".join(
+           f"CAST(sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) "
+           f"AS BIGINT) AS n_{t}" for t in _PIVOT_TYPES)}
+FROM events GROUP BY user_id
+"""
+
+
 def _q_event_sessions(spark, sf_dir):
     from pyspark.sql import Window
     ev = load(spark, sf_dir, "events")
@@ -2433,6 +2494,8 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     "tfidf_topk": (_q_tfidf_topk, _O_TFIDF_TOPK),
     "tpch_q1": (_q_tpch_q1, _O_TPCH_Q1),
     "tpch_q3": (_q_tpch_q3, _O_TPCH_Q3),
+    "lineitem_rollup": (_q_lineitem_rollup, _O_LINEITEM_ROLLUP),
+    "event_pivot": (_q_event_pivot, _O_EVENT_PIVOT),
     "event_sessions": (_q_event_sessions, _O_EVENT_SESSIONS),
     "event_props_json": (_q_event_props_json, _O_EVENT_PROPS_JSON),
     "asof_clicks": (_q_asof_clicks, _O_ASOF_CLICKS),
