@@ -687,6 +687,75 @@ FROM weights GROUP BY doc_id
 """
 
 
+_SIMHASH_BAND_CAP = 8   # hot band-bucket cap, applied on BOTH engines
+_SIMHASH_MAX_HAMMING = 3
+
+
+def _q_simhash_dups(spark, sf_dir):
+    """SimHash near-dup PAIRING — completes the simhash dedup path: the
+    32-bit fingerprint bands into 4 bytes, docs sharing any band bucket
+    become candidates (capped hot buckets, same discipline as the
+    MinHash/ngram pairers), and candidates verify with exact Hamming
+    distance (bit_count of xor — pure JVM).
+
+    Scale shape: fingerprints shuffle once into (band, key) buckets via
+    bucket-collect; the candidate fan-out is bucket-bounded, the verify
+    is a projection.  By SimHash's pigeonhole guarantee every pair
+    within Hamming 3 of a 4-band split shares at least one exact band,
+    so banding loses nothing at this threshold."""
+    fp = _q_simhash(spark, sf_dir)
+    bands = fp.select(
+        "doc_id", "simhash",
+        F.explode(F.expr(
+            "transform(sequence(0, 3), b -> "
+            "struct(b AS b, shiftright(simhash, 8 * b) & 255 AS k))"
+        )).alias("bk"))
+    buckets = (bands
+               .groupBy("bk")
+               .agg(F.sort_array(F.collect_list(
+                   F.struct("doc_id", "simhash"))).alias("ids"))
+               .where(F.size("ids").between(2, _SIMHASH_BAND_CAP)))
+    pairs = (buckets.select(F.explode(F.expr(
+        "flatten(transform(ids, (x, i) -> transform("
+        "slice(ids, i + 2, size(ids) - i - 1), "
+        "y -> struct(x.doc_id AS doc_a, y.doc_id AS doc_b, "
+        "x.simhash AS fa, y.simhash AS fb))))")).alias("p"))
+        .select("p.doc_a", "p.doc_b", "p.fa", "p.fb")
+        .dropDuplicates(["doc_a", "doc_b"]))
+    ham = F.bit_count(F.col("fa").bitwiseXOR(F.col("fb")))
+    return (pairs.where(ham <= _SIMHASH_MAX_HAMMING)
+            .select("doc_a", "doc_b",
+                    ham.cast("int").alias("hamming")))
+
+
+_O_SIMHASH_DUPS = f"""
+WITH toks AS ({_SQL_TOKS_NE}),
+hs AS (SELECT doc_id,
+              CAST(concat('0x', substr(md5(term), 1, 8)) AS BIGINT) AS h
+       FROM toks),
+pos AS (SELECT unnest(range(0, 32)) AS b),
+bits AS (SELECT doc_id, b, (h >> b) & 1 AS bit FROM hs, pos),
+weights AS (SELECT doc_id, b, sum(2 * bit - 1) AS w
+            FROM bits GROUP BY doc_id, b),
+fp AS (SELECT doc_id,
+              CAST(sum(CASE WHEN w > 0 THEN (CAST(1 AS BIGINT) << b)
+                            ELSE 0 END) AS BIGINT) AS simhash
+       FROM weights GROUP BY doc_id),
+bb AS (SELECT unnest(range(0, 4)) AS b),
+bands AS (SELECT doc_id, simhash, b, (simhash >> (8 * b)) & 255 AS k
+          FROM fp, bb),
+ok AS (SELECT b, k FROM bands GROUP BY b, k
+       HAVING count(*) BETWEEN 2 AND {_SIMHASH_BAND_CAP}),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, c2.doc_id AS doc_b,
+                a.simhash AS fa, c2.simhash AS fb
+         FROM bands a JOIN ok USING (b, k) JOIN bands c2 USING (b, k)
+         WHERE a.doc_id < c2.doc_id)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(fa, fb)) AS INTEGER) AS hamming
+FROM cand WHERE bit_count(xor(fa, fb)) <= {_SIMHASH_MAX_HAMMING}
+"""
+
+
 def _q_embedding_knn(spark, sf_dir):
     emb = (load(spark, sf_dir, "embeddings")
            .select("vec_id", F.expr(
@@ -1915,6 +1984,54 @@ FROM ranked WHERE rank <= {_TFIDF_TOPK}
 """
 
 
+_CHUNK_TOKENS = 32   # tokens per training chunk
+_CHUNK_STRIDE = 24   # stride (8-token overlap)
+
+
+def _q_doc_chunks(spark, sf_dir):
+    """Fixed-size overlapping token-window chunking — the step that turns
+    curated documents into training sequences (context-window packing
+    with overlap so no boundary-spanning text is lost).
+
+    Scale shape: pure map-side — tokenize once per row, explode the
+    stride-spaced start positions, slice the token array per chunk — no
+    shuffle anywhere; chunk_id is (doc_id, start) so ids are
+    deterministic without any global ordering."""
+    docs = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    arrs = (docs.select("doc_id", F.expr(
+        "filter(split(text, ' '), x -> x <> '')").alias("w"))
+        .where(F.size("w") >= 1))
+    starts = F.expr(
+        f"sequence(1, greatest(size(w) - {_CHUNK_TOKENS - _CHUNK_STRIDE}, 1),"
+        f" {_CHUNK_STRIDE})")
+    return (arrs.select("doc_id", "w", F.explode(starts).alias("start"))
+            .select("doc_id",
+                    F.col("start").cast("int").alias("start"),
+                    F.expr(f"array_join(slice(w, start, {_CHUNK_TOKENS}), ' ')")
+                    .alias("chunk_text"),
+                    F.expr(f"size(slice(w, start, {_CHUNK_TOKENS}))")
+                    .cast("int").alias("n_tokens")))
+
+
+_O_DOC_CHUNKS = f"""
+WITH arrs AS (SELECT doc_id,
+                     list_filter(string_split(text, ' '), x -> x <> '') AS l
+              FROM documents WHERE text IS NOT NULL),
+a1 AS (SELECT doc_id, l FROM arrs WHERE len(l) >= 1),
+st AS (SELECT doc_id, l,
+              unnest(range(1, greatest(len(l) - {_CHUNK_TOKENS
+                                               - _CHUNK_STRIDE}, 1) + 1,
+                           {_CHUNK_STRIDE})) AS start
+       FROM a1)
+SELECT doc_id, CAST(start AS INTEGER) AS start,
+       array_to_string(l[start : start + {_CHUNK_TOKENS} - 1], ' ')
+           AS chunk_text,
+       CAST(len(l[start : start + {_CHUNK_TOKENS} - 1]) AS INTEGER)
+           AS n_tokens
+FROM st
+"""
+
+
 # Character-trigram language identification (Cavnar & Trenkle 1994-style
 # n-gram profiles, public).  Profiles are built from a deterministic 80%
 # train split (doc_id % 5 <> 0) of the corpus itself; prediction is the
@@ -2475,6 +2592,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     "minhash_signatures": (_q_minhash_signatures, _O_MINHASH_SIGNATURES),
     "minhash_lsh_dups": (_q_minhash_lsh_dups, _O_MINHASH_LSH),
     "simhash": (_q_simhash, _O_SIMHASH),
+    "simhash_dups": (_q_simhash_dups, _O_SIMHASH_DUPS),
     "embedding_knn": (_q_embedding_knn, _O_EMBEDDING_KNN),
     "dedup_embedding": (_q_dedup_embedding, _O_DEDUP_EMBEDDING),
     "dedup_embedding_lsh": (_q_dedup_embedding_lsh, _o_dedup_lsh_sql()),
@@ -2489,6 +2607,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     "quality_filter": (_q_quality_filter, _O_QUALITY_FILTER),
     "dedup_clusters": (_q_dedup_clusters, _O_DEDUP_CLUSTERS),
     "sample_stratified": (_q_sample_stratified, _O_SAMPLE_STRATIFIED),
+    "doc_chunks": (_q_doc_chunks, _O_DOC_CHUNKS),
     "lang_id": (_q_lang_id, _O_LANG_ID),
     "repetition_stats": (_q_repetition_stats, _O_REPETITION_STATS),
     "tfidf_topk": (_q_tfidf_topk, _O_TFIDF_TOPK),
