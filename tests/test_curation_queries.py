@@ -117,3 +117,52 @@ def test_tfidf_topk_shape(sf_dir):
         f"FROM ({sql})) WHERE prev IS NOT NULL AND prev < score"
     ).fetchone()[0]
     assert unsorted == 0
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_doc_chunks_cover_every_token(sf_dir):
+    """Chunking must lose nothing: for every document the union of
+    [start, start + n_tokens) intervals covers 1..len(tokens) exactly
+    (stride < chunk size guarantees overlap, not gaps), and every chunk
+    is non-empty."""
+    sql = CATALOG["doc_chunks"][1]
+    con = _con(sf_dir)
+    bad = con.sql(f"""
+        WITH c AS ({sql}),
+        cov AS (SELECT doc_id, max(start + n_tokens - 1) AS covered,
+                       min(start) AS first_start, min(n_tokens) AS min_n
+                FROM c GROUP BY doc_id),
+        want AS (SELECT doc_id,
+                        len(list_filter(string_split(text, ' '),
+                                        x -> x <> '')) AS n
+                 FROM documents WHERE text IS NOT NULL
+                 AND len(list_filter(string_split(text, ' '),
+                                     x -> x <> '')) >= 1)
+        SELECT count(*) FROM want JOIN cov USING (doc_id)
+        WHERE covered <> n OR first_start <> 1 OR min_n < 1
+        """).fetchone()[0]
+    assert bad == 0
+    missing = con.sql(f"""
+        SELECT count(*) FROM documents
+        WHERE text IS NOT NULL
+        AND len(list_filter(string_split(text, ' '), x -> x <> '')) >= 1
+        AND doc_id NOT IN (SELECT doc_id FROM ({sql}))""").fetchone()[0]
+    assert missing == 0
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_simhash_dups_sane(sf_dir):
+    """Verified pairs exist, every hamming is within the threshold, and
+    pairs are canonical (doc_a < doc_b) and unique."""
+    sql = CATALOG["simhash_dups"][1]
+    con = _con(sf_dir)
+    n, bad_h, bad_ord = con.sql(
+        f"SELECT count(*), "
+        f"sum(CASE WHEN hamming BETWEEN 0 AND 3 THEN 0 ELSE 1 END), "
+        f"sum(CASE WHEN doc_a < doc_b THEN 0 ELSE 1 END) FROM ({sql})"
+    ).fetchone()
+    assert n >= 1 and bad_h == 0 and bad_ord == 0
+    dups = con.sql(
+        f"SELECT count(*) FROM (SELECT doc_a, doc_b FROM ({sql}) "
+        "GROUP BY 1, 2 HAVING count(*) > 1)").fetchone()[0]
+    assert dups == 0
