@@ -1943,9 +1943,10 @@ def _q_tfidf_topk(spark, sf_dir):
     (doc_id, term) count, df re-aggregates it by term (map-side partial
     on an already-shuffled frame), N is a scalar broadcast — and the
     per-doc top-K is a WindowGroupLimit over (score DESC, term), never a
-    global sort.  The df table is vocabulary-sized; at web scale it
-    stays a shuffle join on term, co-partitioned with tf by
-    construction."""
+    global sort.  The tf⋈df join re-shuffles tf on term (tf is hashed on
+    (doc_id, term), so the partitionings do NOT line up); df is
+    vocabulary-sized, so AQE broadcasts it whenever it fits and the
+    re-shuffle disappears."""
     from pyspark.sql import Window
 
     toks = _tokens(spark, sf_dir)
