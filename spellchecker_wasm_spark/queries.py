@@ -1841,6 +1841,192 @@ SELECT doc_id, lang, bucket, rate_pct FROM d WHERE bucket < rate_pct
 """
 
 
+# Benchmark decontamination (the cross-corpus n-gram overlap check every
+# published pre-training pipeline runs before training): the "eval set" is
+# a deterministic slice of the corpus (doc_id % 37 = 0 — fixture stand-in
+# for the real benchmark suite), the contamination signal is shared word
+# n-grams.  n=3 is chosen because the fixture's vocabulary makes it
+# non-vacuous with BOTH branches live (at sf0.01: 312 contaminated docs,
+# thousands clean; n=4 leaves only 13 hits, n=2 marks nearly everything).
+_DECON_N = 3
+_DECON_MOD = 37
+
+
+def _q_decontaminate(spark, sf_dir):
+    """Per-training-doc contamination report: how many distinct eval-set
+    word trigrams the doc contains, and a keep/drop flag.
+
+    Scale shape: the eval side is benchmark-sized (MBs even in
+    production), so its distinct-shingle set is broadcast and the
+    membership probe is a map-side broadcast join — the 100-TB training
+    corpus is scanned once, never shuffled on shingle.  The only
+    shuffle is the per-doc count aggregation on doc_id (narrow rows),
+    and clean docs never leave the map side twice: the left join keeps
+    them with n_hits = 0."""
+    docs = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    arrs = docs.select(
+        "doc_id", F.expr("filter(split(text, ' '), x -> x <> '')").alias("w"))
+    grams = (arrs.where(F.size("w") >= _DECON_N)
+             .select("doc_id", F.explode(F.expr(
+                 f"transform(sequence(1, size(w) - {_DECON_N - 1}), "
+                 f"i -> array_join(slice(w, i, {_DECON_N}), ' '))"))
+                 .alias("g")))
+    ev = (grams.where(F.col("doc_id") % _DECON_MOD == 0)
+          .select("g").distinct())
+    train_ids = docs.where(F.col("doc_id") % _DECON_MOD != 0).select("doc_id")
+    hits = (grams.where(F.col("doc_id") % _DECON_MOD != 0)
+            .join(F.broadcast(ev), "g")
+            .groupBy("doc_id")
+            .agg(F.countDistinct("g").alias("n_hits")))
+    return (train_ids.join(hits, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+                    (F.coalesce("n_hits", F.lit(0)) > 0).cast("int")
+                    .alias("contaminated")))
+
+
+_O_DECONTAMINATE = f"""
+WITH arrs AS (SELECT doc_id,
+                     list_filter(string_split(text, ' '), x -> x <> '') AS w
+              FROM documents WHERE text IS NOT NULL),
+grams AS (SELECT doc_id,
+                 array_to_string(w[i : i + {_DECON_N} - 1], ' ') AS g
+          FROM arrs, unnest(range(1, len(w) - {_DECON_N - 1} + 1)) AS t(i)
+          WHERE len(w) >= {_DECON_N}),
+ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % {_DECON_MOD} = 0),
+hits AS (SELECT doc_id, count(DISTINCT g.g) AS n_hits
+         FROM grams g JOIN ev USING (g)
+         WHERE doc_id % {_DECON_MOD} <> 0 GROUP BY doc_id),
+train AS (SELECT doc_id FROM documents
+          WHERE text IS NOT NULL AND doc_id % {_DECON_MOD} <> 0)
+SELECT t.doc_id,
+       coalesce(h.n_hits, 0) AS n_hits,
+       CAST(coalesce(h.n_hits, 0) > 0 AS INTEGER) AS contaminated
+FROM train t LEFT JOIN hits h ON h.doc_id = t.doc_id
+"""
+
+
+# CCNet-style frequency-based quality scoring without the language model:
+# a document dominated by corpus-rare tokens is junk (or misrouted
+# language).  "Rare" = corpus share below _RARE_SHARE.  The scale trick is
+# the pigeonhole bound: at most 1/_RARE_SHARE terms can have share >=
+# _RARE_SHARE, so the COMMON set (<= 100 terms here) is broadcast and a
+# token is rare iff it misses the broadcast — the unbounded Heaps-law rare
+# vocabulary is never joined, shuffled, or collected.
+_RARE_SHARE = 0.01
+
+
+def _q_rare_token_stats(spark, sf_dir):
+    """Per-doc rare-token mass: n_tokens, occurrences of corpus-rare
+    terms, and their fraction (ints + one division → exact on both
+    engines).
+
+    Scale shape: one term-count aggregation (shuffle on term, map-side
+    combined), a share filter that pigeonhole-bounds the surviving
+    common set to <= 1/_RARE_SHARE rows, a broadcast left join marking
+    each token occurrence, and one narrow per-doc aggregation."""
+    toks = _tokens(spark, sf_dir)
+    total = toks.groupBy().agg(F.count(F.lit(1)).alias("t"))
+    common = (toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+              .crossJoin(F.broadcast(total))
+              .where(F.col("c") / F.col("t") >= _RARE_SHARE)
+              .select("term"))
+    return (toks.join(F.broadcast(common.withColumn("is_common", F.lit(1))),
+                      "term", "left")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.sum(F.when(F.col("is_common").isNull(), 1).otherwise(0))
+                 .alias("n_rare"))
+            .withColumn("frac_rare", F.col("n_rare") / F.col("n_tokens")))
+
+
+_O_RARE_TOKEN_STATS = f"""
+WITH toks AS ({_SQL_TOKS_NE}),
+cnt AS (SELECT term, count(*) AS c FROM toks GROUP BY term),
+tot AS (SELECT sum(c) AS t FROM cnt),
+common AS (SELECT term FROM cnt, tot WHERE c * 1.0 / t >= {_RARE_SHARE})
+SELECT doc_id, count(*) AS n_tokens,
+       sum(CASE WHEN common.term IS NULL THEN 1 ELSE 0 END) AS n_rare,
+       sum(CASE WHEN common.term IS NULL THEN 1 ELSE 0 END) * 1.0 / count(*)
+           AS frac_rare
+FROM toks LEFT JOIN common ON toks.term = common.term
+GROUP BY doc_id
+"""
+
+
+# Token-budget corpus mixing: keep documents per language, in
+# deterministic doc_id order, until the language's token budget is
+# exhausted (the mix-balancing admission step of a corpus build).  The
+# running sum is a distributed two-pass prefix scan — NOT a single
+# partition-per-language window, which would put an entire language's
+# 10^12-doc history in one task.
+_MIX_BUDGET = {"en": 2000, "de": 1500}
+_MIX_DEFAULT_BUDGET = 1000
+_MIX_BUCKET = 64  # docs per prefix-scan bucket
+
+
+def _q_token_budget_mix(spark, sf_dir):
+    """Per-language token-budget admission with a scalable prefix sum.
+
+    Scale shape: pass 1 aggregates token counts per (lang, bucket) —
+    bucket = doc_id div _MIX_BUCKET — and computes each bucket's prefix
+    offset with a window over the per-language BUCKET LIST (10^12 docs /
+    bucket size rows, millions not trillions; for true 10^12 scale this
+    layer recurses).  The offsets table is small → broadcast back, and
+    the intra-bucket running sum windows over at most _MIX_BUCKET rows
+    per partition.  No task ever sees more than one bucket of one
+    language."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    tc = docs.select(
+        "doc_id", "lang",
+        F.size(F.expr("filter(split(text, ' '), x -> x <> '')"))
+        .alias("n_tokens"),
+        F.expr(f"doc_id div {_MIX_BUCKET}").alias("bucket"))
+    per_bucket = (tc.groupBy("lang", "bucket")
+                  .agg(F.sum("n_tokens").alias("bucket_tokens")))
+    w_off = (Window.partitionBy("lang").orderBy("bucket")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = per_bucket.select(
+        "lang", "bucket",
+        F.coalesce(F.sum("bucket_tokens").over(w_off), F.lit(0))
+        .alias("offset"))
+    w_in = (Window.partitionBy("lang", "bucket").orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    budget = F.lit(_MIX_DEFAULT_BUDGET)
+    for lang, b in _MIX_BUDGET.items():
+        budget = F.when(F.col("lang") == lang, b).otherwise(budget)
+    return (tc.join(F.broadcast(offsets), ["lang", "bucket"])
+            .withColumn("cum_tokens",
+                        (F.col("offset") + F.sum("n_tokens").over(w_in))
+                        .cast("bigint"))
+            .withColumn("kept",
+                        (F.col("cum_tokens") <= budget).cast("int"))
+            .select("doc_id", "lang",
+                    F.col("n_tokens").cast("int").alias("n_tokens"),
+                    "cum_tokens", "kept"))
+
+
+_O_TOKEN_BUDGET_MIX = f"""
+WITH tc AS (SELECT doc_id, lang,
+                   len(list_filter(string_split(text, ' '), x -> x <> ''))
+                       AS n_tokens
+            FROM documents WHERE text IS NOT NULL),
+c AS (SELECT doc_id, lang, CAST(n_tokens AS INTEGER) AS n_tokens,
+             CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS cum_tokens
+      FROM tc)
+SELECT doc_id, lang, n_tokens, cum_tokens,
+       CAST(cum_tokens <= CASE {' '.join(
+           f"WHEN lang = '{lang}' THEN {b}"
+           for lang, b in _MIX_BUDGET.items())}
+            ELSE {_MIX_DEFAULT_BUDGET} END AS INTEGER) AS kept
+FROM c
+"""
+
+
 # Gopher-style repetition filters (Rae et al. 2021 §A1.1, public):
 # excessive repetition is the highest-precision single signal for
 # machine-generated / boilerplate web text.  Thresholds bite on the
@@ -2608,6 +2794,9 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     "quality_filter": (_q_quality_filter, _O_QUALITY_FILTER),
     "dedup_clusters": (_q_dedup_clusters, _O_DEDUP_CLUSTERS),
     "sample_stratified": (_q_sample_stratified, _O_SAMPLE_STRATIFIED),
+    "decontaminate": (_q_decontaminate, _O_DECONTAMINATE),
+    "rare_token_stats": (_q_rare_token_stats, _O_RARE_TOKEN_STATS),
+    "token_budget_mix": (_q_token_budget_mix, _O_TOKEN_BUDGET_MIX),
     "doc_chunks": (_q_doc_chunks, _O_DOC_CHUNKS),
     "lang_id": (_q_lang_id, _O_LANG_ID),
     "repetition_stats": (_q_repetition_stats, _O_REPETITION_STATS),
