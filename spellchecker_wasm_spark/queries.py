@@ -1925,10 +1925,16 @@ def _q_rare_token_stats(spark, sf_dir):
     combined), a share filter that pigeonhole-bounds the surviving
     common set to <= 1/_RARE_SHARE rows, a broadcast left join marking
     each token occurrence, and one narrow per-doc aggregation."""
+    from pyspark.sql import Window
+
     toks = _tokens(spark, sf_dir)
-    total = toks.groupBy().agg(F.count(F.lit(1)).alias("t"))
-    common = (toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
-              .crossJoin(F.broadcast(total))
+    # total token count via an unpartitioned window over the VOCAB-sized
+    # aggregate: one task sees vocab rows (not corpus rows), and the
+    # corpus is never scanned a second time for the scalar.
+    cnt = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    common = (cnt.withColumn("t", F.sum("c").over(
+                  Window.partitionBy().rowsBetween(
+                      Window.unboundedPreceding, Window.unboundedFollowing)))
               .where(F.col("c") / F.col("t") >= _RARE_SHARE)
               .select("term"))
     return (toks.join(F.broadcast(common.withColumn("is_common", F.lit(1))),
