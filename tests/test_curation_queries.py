@@ -166,3 +166,106 @@ def test_simhash_dups_sane(sf_dir):
         f"SELECT count(*) FROM (SELECT doc_a, doc_b FROM ({sql}) "
         "GROUP BY 1, 2 HAVING count(*) > 1)").fetchone()[0]
     assert dups == 0
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_decontaminate_branches_and_truth(sf_dir):
+    """Both branches live (some contaminated, some clean), the flag is
+    exactly (n_hits > 0), eval docs never appear in the output, and a
+    direct Python recompute of one contaminated doc's trigram overlap
+    agrees with its n_hits."""
+    from spellchecker_wasm_spark.queries import _DECON_MOD, _DECON_N
+
+    sql = CATALOG["decontaminate"][1]
+    con = _con(sf_dir)
+    flags = dict(con.sql(
+        f"SELECT contaminated, count(*) FROM ({sql}) GROUP BY 1").fetchall())
+    assert set(flags) == {0, 1}
+    bad = con.sql(
+        f"SELECT count(*) FROM ({sql}) "
+        "WHERE (n_hits > 0) <> (contaminated = 1)").fetchone()[0]
+    assert bad == 0
+    ev_in_out = con.sql(
+        f"SELECT count(*) FROM ({sql}) WHERE doc_id % {_DECON_MOD} = 0"
+    ).fetchone()[0]
+    assert ev_in_out == 0
+    # ground-truth one row end-to-end in plain Python
+    doc_id, n_hits = con.sql(
+        f"SELECT doc_id, n_hits FROM ({sql}) WHERE contaminated = 1 "
+        "ORDER BY doc_id LIMIT 1").fetchone()
+
+    def grams(text):
+        w = [x for x in text.split(" ") if x]
+        return {" ".join(w[i:i + _DECON_N])
+                for i in range(len(w) - _DECON_N + 1)}
+
+    rows = con.sql("SELECT doc_id, text FROM documents "
+                   "WHERE text IS NOT NULL").fetchall()
+    ev = set()
+    for d, t in rows:
+        if d % _DECON_MOD == 0:
+            ev |= grams(t)
+    mine = grams(dict(rows)[doc_id])
+    assert len(mine & ev) == n_hits
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_rare_token_pigeonhole(sf_dir):
+    """The broadcast common set is pigeonhole-bounded by 1/share, rare
+    mass is conserved (sum n_rare equals total occurrences of rare
+    terms), and both branches are live."""
+    from spellchecker_wasm_spark.queries import _RARE_SHARE, _SQL_TOKS_NE
+
+    sql = CATALOG["rare_token_stats"][1]
+    con = _con(sf_dir)
+    n_common = con.sql(f"""
+        WITH toks AS ({_SQL_TOKS_NE}),
+        cnt AS (SELECT term, count(*) c FROM toks GROUP BY term),
+        tot AS (SELECT sum(c) t FROM cnt)
+        SELECT count(*) FROM cnt, tot WHERE c * 1.0 / t >= {_RARE_SHARE}
+        """).fetchone()[0]
+    assert 1 <= n_common <= int(1 / _RARE_SHARE)
+    total_rare, = con.sql(
+        f"SELECT sum(n_rare) FROM ({sql})").fetchone()
+    direct, = con.sql(f"""
+        WITH toks AS ({_SQL_TOKS_NE}),
+        cnt AS (SELECT term, count(*) c FROM toks GROUP BY term),
+        tot AS (SELECT sum(c) t FROM cnt)
+        SELECT sum(c) FROM cnt, tot WHERE c * 1.0 / t < {_RARE_SHARE}
+        """).fetchone()
+    assert total_rare == direct
+    branches = dict(con.sql(
+        f"SELECT n_rare > 0, count(*) FROM ({sql}) GROUP BY 1").fetchall())
+    assert set(branches) == {False, True}
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_token_budget_prefix_property(sf_dir):
+    """Within each language the kept set is a doc_id-prefix (once a doc
+    is dropped, every later doc is dropped), cum_tokens is the exact
+    running sum, and both branches are live."""
+    sql = CATALOG["token_budget_mix"][1]
+    con = _con(sf_dir)
+    non_prefix = con.sql(f"""
+        WITH r AS ({sql}),
+        x AS (SELECT lang, doc_id, kept,
+                     min(kept) OVER (PARTITION BY lang ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                         AS prev_min
+              FROM r)
+        SELECT count(*) FROM x WHERE kept = 1 AND prev_min = 0
+        """).fetchone()[0]
+    assert non_prefix == 0
+    drift = con.sql(f"""
+        WITH r AS ({sql})
+        SELECT count(*) FROM (
+            SELECT cum_tokens,
+                   sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS want
+            FROM r) WHERE cum_tokens <> want
+        """).fetchone()[0]
+    assert drift == 0
+    branches = dict(con.sql(
+        f"SELECT kept, count(*) FROM ({sql}) GROUP BY 1").fetchall())
+    assert set(branches) == {0, 1}
