@@ -2033,6 +2033,101 @@ FROM c
 """
 
 
+# Dolma-style curation funnel (Soldaini et al. 2024, public): attributes
+# are materialized in INDEPENDENT parallel passes (quality rules, near-dup
+# canonicality, contamination, budget admission) and combined in one final
+# join — the architecture real corpus builds use, because each attribute
+# pass scales independently and re-mixing never re-runs upstream passes.
+# The funnel reports the doc/token survivor counts after each prefix of
+# the admission chain.
+_FUNNEL_STAGES = ("all", "quality", "canonical", "clean", "admitted")
+
+
+def _q_curation_funnel(spark, sf_dir):
+    """End-to-end curation funnel: docs and tokens surviving each prefix
+    of quality → canonical-dedup → decontamination → token budget.
+
+    Scale shape: the four attribute frames are the existing catalog
+    operators (each individually plan-audited); the combine is a 4-way
+    equi-join on doc_id that AQE broadcasts at fixture scale and
+    co-partitions at 10^12 docs, followed by ONE aggregation producing a
+    fixed 5-row result — no stage of the funnel ever re-reads the
+    corpus more than its standalone attribute pass does.  Eval-slice
+    docs (the decontamination holdout) are absent from the decon frame
+    and therefore fail the `clean` stage via the left join's null."""
+    quality = _q_quality_filter(spark, sf_dir).select("doc_id", "keep")
+    canon = _q_dedup_clusters(spark, sf_dir).select("doc_id", "is_canonical")
+    decon = _q_decontaminate(spark, sf_dir).select("doc_id", "contaminated")
+    budget = _q_token_budget_mix(spark, sf_dir).select(
+        "doc_id", "n_tokens", "kept")
+    j = (budget.join(quality, "doc_id", "left")
+         .join(canon, "doc_id", "left")
+         .join(decon, "doc_id", "left"))
+    s1 = F.col("keep") == 1
+    s2 = s1 & (F.col("is_canonical") == 1)
+    s3 = s2 & (F.col("contaminated") == 0)   # null (eval doc) fails
+    s4 = s3 & (F.col("kept") == 1)
+    stages = [F.lit(True), s1, s2, s3, s4]
+    aggs = []
+    for i, cond in enumerate(stages):
+        aggs.append(F.sum(F.when(cond, 1).otherwise(0))
+                    .alias(f"d{i}"))
+        aggs.append(F.sum(F.when(cond, F.col("n_tokens")).otherwise(0))
+                    .alias(f"t{i}"))
+    wide = j.agg(*aggs)
+    pairs = ", ".join(
+        f"'{name}', 'stage_{i}', d{i}, t{i}"
+        for i, name in enumerate(_FUNNEL_STAGES))
+    return (wide.select(F.expr(
+        f"stack({len(_FUNNEL_STAGES)}, {pairs}) "
+        "AS (stage, stage_id, n_docs, n_tokens)"))
+        .select("stage_id", "stage", "n_docs", "n_tokens"))
+
+
+_O_CURATION_FUNNEL = f"""
+WITH j AS (
+    SELECT b.doc_id, b.n_tokens, b.kept, q.keep, c.is_canonical,
+           dc.contaminated
+    FROM ({{budget}}) b
+    LEFT JOIN ({{quality}}) q ON q.doc_id = b.doc_id
+    LEFT JOIN ({{dedup}}) c ON c.doc_id = b.doc_id
+    LEFT JOIN ({{decon}}) dc ON dc.doc_id = b.doc_id),
+f AS (SELECT *,
+             (keep = 1) AS s1,
+             (keep = 1 AND is_canonical = 1) AS s2,
+             (keep = 1 AND is_canonical = 1
+              AND coalesce(contaminated, 1) = 0) AS s3,
+             (keep = 1 AND is_canonical = 1
+              AND coalesce(contaminated, 1) = 0 AND kept = 1) AS s4
+      FROM j),
+w AS (SELECT
+          count(*) AS d0, sum(n_tokens) AS t0,
+          sum(CASE WHEN s1 THEN 1 ELSE 0 END) AS d1,
+          sum(CASE WHEN s1 THEN n_tokens ELSE 0 END) AS t1,
+          sum(CASE WHEN s2 THEN 1 ELSE 0 END) AS d2,
+          sum(CASE WHEN s2 THEN n_tokens ELSE 0 END) AS t2,
+          sum(CASE WHEN s3 THEN 1 ELSE 0 END) AS d3,
+          sum(CASE WHEN s3 THEN n_tokens ELSE 0 END) AS t3,
+          sum(CASE WHEN s4 THEN 1 ELSE 0 END) AS d4,
+          sum(CASE WHEN s4 THEN n_tokens ELSE 0 END) AS t4
+      FROM f)
+SELECT * FROM (
+    {" UNION ALL ".join(
+        f"SELECT 'stage_{i}' AS stage_id, '{name}' AS stage, "
+        f"d{i} AS n_docs, t{i} AS n_tokens FROM w"
+        for i, name in enumerate(_FUNNEL_STAGES))})
+"""
+
+
+def _o_curation_funnel() -> str:
+    """The funnel oracle REUSES the standalone attribute oracles verbatim
+    as subqueries, so the composed result is definitionally consistent
+    with the per-attribute rows the driver already checks."""
+    return _O_CURATION_FUNNEL.format(
+        budget=_O_TOKEN_BUDGET_MIX, quality=_O_QUALITY_FILTER,
+        dedup=_O_DEDUP_CLUSTERS, decon=_O_DECONTAMINATE)
+
+
 # Gopher-style repetition filters (Rae et al. 2021 §A1.1, public):
 # excessive repetition is the highest-precision single signal for
 # machine-generated / boilerplate web text.  Thresholds bite on the
@@ -2803,6 +2898,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     "decontaminate": (_q_decontaminate, _O_DECONTAMINATE),
     "rare_token_stats": (_q_rare_token_stats, _O_RARE_TOKEN_STATS),
     "token_budget_mix": (_q_token_budget_mix, _O_TOKEN_BUDGET_MIX),
+    "curation_funnel": (_q_curation_funnel, _o_curation_funnel()),
     "doc_chunks": (_q_doc_chunks, _O_DOC_CHUNKS),
     "lang_id": (_q_lang_id, _O_LANG_ID),
     "repetition_stats": (_q_repetition_stats, _O_REPETITION_STATS),
