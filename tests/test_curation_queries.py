@@ -269,3 +269,23 @@ def test_token_budget_prefix_property(sf_dir):
     branches = dict(con.sql(
         f"SELECT kept, count(*) FROM ({sql}) GROUP BY 1").fetchall())
     assert set(branches) == {0, 1}
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_funnel_monotone_and_grounded(sf_dir):
+    """Survivors must shrink (weakly) at every stage, stage_0 must equal
+    the corpus totals, and every stage must be non-empty — plus the
+    admitted stage must be a strict subset of `all` (the funnel bites)."""
+    sql = CATALOG["curation_funnel"][1]
+    con = _con(sf_dir)
+    rows = {r[0]: (r[2], r[3]) for r in con.sql(sql).fetchall()}
+    stages = [f"stage_{i}" for i in range(5)]
+    for a, b in zip(stages, stages[1:]):
+        assert rows[a][0] >= rows[b][0] >= 0
+        assert rows[a][1] >= rows[b][1] >= 0
+    n_docs, n_tokens = con.sql(
+        "SELECT count(*), sum(len(list_filter(string_split(text, ' '), "
+        "x -> x <> ''))) FROM documents WHERE text IS NOT NULL").fetchone()
+    assert rows["stage_0"] == (n_docs, n_tokens)
+    assert rows["stage_4"][0] >= 1
+    assert rows["stage_4"][0] < rows["stage_0"][0]
