@@ -2033,6 +2033,63 @@ FROM c
 """
 
 
+# Exact distribution profiling at scale: corpus-level quantiles are
+# usually approximated (t-digest / approx_percentile), but for a
+# BOUNDED-DOMAIN measure (n_chars here; token counts, scores in
+# production) the exact answer is cheap: aggregate a (group, value)
+# HISTOGRAM — domain-sized, not corpus-sized — cumulate over the
+# histogram, and select the first value whose cumulative count reaches
+# ceil(q·n/100).  Ranks use pure integer arithmetic ((q·n + 99) div 100)
+# so both engines agree bit-for-bit.
+_QUANTILES = (25, 50, 75, 90)
+
+
+def _q_length_quantiles(spark, sf_dir):
+    """Per-language exact n_chars quantiles via histogram + prefix.
+
+    Scale shape: one corpus aggregation to the (lang, n_chars)
+    histogram; every window after that runs over HISTOGRAM rows (at
+    most |domain| per language), so no task ever sees corpus-sized
+    data.  The final per-lang reduction is a conditional-min over the
+    same histogram."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    hist = (docs.groupBy("lang", "n_chars")
+            .agg(F.count(F.lit(1)).alias("c")))
+    w_cum = (Window.partitionBy("lang").orderBy("n_chars")
+             .rowsBetween(Window.unboundedPreceding, 0))
+    w_all = (Window.partitionBy("lang")
+             .rowsBetween(Window.unboundedPreceding,
+                          Window.unboundedFollowing))
+    cum = (hist.withColumn("cum", F.sum("c").over(w_cum))
+           .withColumn("n", F.sum("c").over(w_all)))
+    aggs = [F.max("n").cast("bigint").alias("n_docs")]
+    for q in _QUANTILES:
+        rank = F.expr(f"({q} * n + 99) div 100")
+        aggs.append(F.min(F.when(F.col("cum") >= rank, F.col("n_chars")))
+                    .cast("bigint").alias(f"p{q}"))
+    return cum.groupBy("lang").agg(*aggs)
+
+
+_O_LENGTH_QUANTILES = f"""
+WITH hist AS (SELECT lang, n_chars, count(*) AS c
+              FROM documents WHERE text IS NOT NULL
+              GROUP BY lang, n_chars),
+cum AS (SELECT lang, n_chars, c,
+               sum(c) OVER (PARTITION BY lang ORDER BY n_chars
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               sum(c) OVER (PARTITION BY lang) AS n
+        FROM hist)
+SELECT lang, CAST(max(n) AS BIGINT) AS n_docs,
+       {", ".join(
+           f"CAST(min(CASE WHEN cum >= ({q} * n + 99) // 100 "
+           f"THEN n_chars END) AS BIGINT) AS p{q}"
+           for q in _QUANTILES)}
+FROM cum GROUP BY lang
+"""
+
+
 # Dolma-style curation funnel (Soldaini et al. 2024, public): attributes
 # are materialized in INDEPENDENT parallel passes (quality rules, near-dup
 # canonicality, contamination, budget admission) and combined in one final
@@ -2899,6 +2956,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     "rare_token_stats": (_q_rare_token_stats, _O_RARE_TOKEN_STATS),
     "token_budget_mix": (_q_token_budget_mix, _O_TOKEN_BUDGET_MIX),
     "curation_funnel": (_q_curation_funnel, _o_curation_funnel()),
+    "length_quantiles": (_q_length_quantiles, _O_LENGTH_QUANTILES),
     "doc_chunks": (_q_doc_chunks, _O_DOC_CHUNKS),
     "lang_id": (_q_lang_id, _O_LANG_ID),
     "repetition_stats": (_q_repetition_stats, _O_REPETITION_STATS),

@@ -289,3 +289,23 @@ def test_funnel_monotone_and_grounded(sf_dir):
     assert rows["stage_0"] == (n_docs, n_tokens)
     assert rows["stage_4"][0] >= 1
     assert rows["stage_4"][0] < rows["stage_0"][0]
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_length_quantiles_exact_definition(sf_dir):
+    """Quantiles are monotone across q and each p_q is EXACTLY the
+    smallest value v with ceil(q·n/100) docs at or below v — checked by
+    direct counting per language."""
+    sql = CATALOG["length_quantiles"][1]
+    con = _con(sf_dir)
+    for lang, n_docs, p25, p50, p75, p90 in con.sql(sql).fetchall():
+        assert p25 <= p50 <= p75 <= p90
+        for q, v in ((25, p25), (50, p50), (75, p75), (90, p90)):
+            rank = -(-q * n_docs // 100)  # ceil
+            at_or_below, below_prev = con.sql(
+                "SELECT sum(CASE WHEN n_chars <= ? THEN 1 ELSE 0 END), "
+                "sum(CASE WHEN n_chars < ? THEN 1 ELSE 0 END) "
+                "FROM documents WHERE text IS NOT NULL AND lang = ?",
+                params=[v, v, lang]).fetchone()
+            assert at_or_below >= rank
+            assert below_prev < rank
