@@ -1952,7 +1952,8 @@ cnt AS (SELECT term, count(*) AS c FROM toks GROUP BY term),
 tot AS (SELECT sum(c) AS t FROM cnt),
 common AS (SELECT term FROM cnt, tot WHERE c * 1.0 / t >= {_RARE_SHARE})
 SELECT doc_id, count(*) AS n_tokens,
-       sum(CASE WHEN common.term IS NULL THEN 1 ELSE 0 END) AS n_rare,
+       CAST(sum(CASE WHEN common.term IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_rare,
        sum(CASE WHEN common.term IS NULL THEN 1 ELSE 0 END) * 1.0 / count(*)
            AS frac_rare
 FROM toks LEFT JOIN common ON toks.term = common.term
@@ -2158,15 +2159,15 @@ f AS (SELECT *,
               AND coalesce(contaminated, 1) = 0 AND kept = 1) AS s4
       FROM j),
 w AS (SELECT
-          count(*) AS d0, sum(n_tokens) AS t0,
-          sum(CASE WHEN s1 THEN 1 ELSE 0 END) AS d1,
-          sum(CASE WHEN s1 THEN n_tokens ELSE 0 END) AS t1,
-          sum(CASE WHEN s2 THEN 1 ELSE 0 END) AS d2,
-          sum(CASE WHEN s2 THEN n_tokens ELSE 0 END) AS t2,
-          sum(CASE WHEN s3 THEN 1 ELSE 0 END) AS d3,
-          sum(CASE WHEN s3 THEN n_tokens ELSE 0 END) AS t3,
-          sum(CASE WHEN s4 THEN 1 ELSE 0 END) AS d4,
-          sum(CASE WHEN s4 THEN n_tokens ELSE 0 END) AS t4
+          count(*) AS d0, CAST(sum(n_tokens) AS BIGINT) AS t0,
+          CAST(sum(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+          CAST(sum(CASE WHEN s1 THEN n_tokens ELSE 0 END) AS BIGINT) AS t1,
+          CAST(sum(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) AS d2,
+          CAST(sum(CASE WHEN s2 THEN n_tokens ELSE 0 END) AS BIGINT) AS t2,
+          CAST(sum(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT) AS d3,
+          CAST(sum(CASE WHEN s3 THEN n_tokens ELSE 0 END) AS BIGINT) AS t3,
+          CAST(sum(CASE WHEN s4 THEN 1 ELSE 0 END) AS BIGINT) AS d4,
+          CAST(sum(CASE WHEN s4 THEN n_tokens ELSE 0 END) AS BIGINT) AS t4
       FROM f)
 SELECT * FROM (
     {" UNION ALL ".join(
