@@ -2091,6 +2091,89 @@ FROM cum GROUP BY lang
 """
 
 
+# KMV (k-minimum-values) distinct-count sketch (Bar-Yossef et al. 2002,
+# public) — the deterministic cousin of HyperLogLog: hash every value,
+# keep the k smallest distinct hashes per group, estimate
+# distinct ≈ (k-1)·M / h_k.  Engines can't share HLL registers, but KMV
+# under a SHARED deterministic hash (the same 31-poly codepoint hash
+# doc_fingerprint uses, mod M = 2^31-1) is bit-reproducible on both —
+# so an approximate-counting SKETCH sits under the exact-value oracle.
+_KMV_K = 16
+_KMV_M = 2147483647
+# The raw 31-poly hash of SHORT strings is far from uniform (a 4-char
+# word caps at ~3e6 of the 2^31-1 ring — measured 290× overestimate), so
+# KMV applies a Knuth multiplicative finalizer to spread the ring; the
+# product stays < 2^63 for any h < M.
+_TERM_HASH_SPARK = (
+    "(aggregate(transform(filter(split(term, ''), c -> c <> ''), "
+    "c -> ascii(c)), 0L, (acc, c) -> (acc * 31 + c) % 2147483647) "
+    "* 2654435761 + 104729) % 2147483647")
+_TERM_HASH_SQL = (
+    "(list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(list_filter(string_split(term, ''), c -> c <> ''), "
+    "c -> CAST(unicode(c) AS BIGINT))), "
+    "(acc, c) -> (acc * 31 + c) % 2147483647) "
+    "* 2654435761 + 104729) % 2147483647")
+
+
+def _q_distinct_tokens_kmv(spark, sf_dir):
+    """Per-language approximate distinct-token count via a KMV sketch,
+    with the exact count alongside (the fixture vocabulary is small
+    enough to carry both; at 10^12 docs only the sketch survives).
+
+    Scale shape: the hash projection is map-side; the distinct is one
+    (lang, h) aggregation; the k-minima filter compiles to
+    WindowGroupLimit, so each map task forwards at most k rows per
+    language BEFORE the shuffle — the Heaps-law distinct-hash set never
+    converges on one task.  The estimate is one integer-exact division
+    per language."""
+    from pyspark.sql import Window
+
+    toks = _tokens(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    langs = docs.select("doc_id", "lang")
+    hashed = (toks.join(langs, "doc_id")
+              .select("lang", F.expr(_TERM_HASH_SPARK).alias("h"))
+              .distinct())
+    w = Window.partitionBy("lang").orderBy("h")
+    mins = (hashed.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= _KMV_K))
+    exact = (toks.join(langs, "doc_id")
+             .groupBy("lang").agg(F.countDistinct("term").alias("n_exact")))
+    est = (mins.groupBy("lang")
+           .agg(F.count(F.lit(1)).alias("k_eff"),
+                F.max("h").alias("h_k"))
+           .withColumn("kmv_estimate", F.when(
+               F.col("k_eff") < _KMV_K, F.col("k_eff").cast("double"))
+               .otherwise(F.lit((_KMV_K - 1) * _KMV_M) / F.col("h_k"))))
+    return (est.join(exact, "lang")
+            .select("lang", F.col("k_eff").cast("int").alias("k_eff"),
+                    "h_k", "kmv_estimate", "n_exact"))
+
+
+_O_DISTINCT_TOKENS_KMV = f"""
+WITH toks AS ({_SQL_TOKS_NE}),
+lt AS (SELECT d.lang, t.term FROM toks t
+       JOIN documents d ON d.doc_id = t.doc_id),
+hashed AS (SELECT DISTINCT lang, {_TERM_HASH_SQL} AS h FROM lt),
+mins AS (SELECT lang, h FROM (
+             SELECT lang, h, row_number() OVER (PARTITION BY lang
+                 ORDER BY h) AS rn FROM hashed)
+         WHERE rn <= {_KMV_K}),
+est AS (SELECT lang, CAST(count(*) AS INTEGER) AS k_eff,
+               max(h) AS h_k,
+               CASE WHEN count(*) < {_KMV_K}
+                    THEN count(*) * 1.0
+                    ELSE {(_KMV_K - 1) * _KMV_M} * 1.0 / max(h) END
+                   AS kmv_estimate
+        FROM mins GROUP BY lang),
+exact AS (SELECT lang, count(DISTINCT term) AS n_exact FROM lt
+          GROUP BY lang)
+SELECT est.lang, k_eff, h_k, kmv_estimate, n_exact
+FROM est JOIN exact ON est.lang = exact.lang
+"""
+
+
 # Dolma-style curation funnel (Soldaini et al. 2024, public): attributes
 # are materialized in INDEPENDENT parallel passes (quality rules, near-dup
 # canonicality, contamination, budget admission) and combined in one final
@@ -2958,6 +3041,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     "token_budget_mix": (_q_token_budget_mix, _O_TOKEN_BUDGET_MIX),
     "curation_funnel": (_q_curation_funnel, _o_curation_funnel()),
     "length_quantiles": (_q_length_quantiles, _O_LENGTH_QUANTILES),
+    "distinct_tokens_kmv": (_q_distinct_tokens_kmv, _O_DISTINCT_TOKENS_KMV),
     "doc_chunks": (_q_doc_chunks, _O_DOC_CHUNKS),
     "lang_id": (_q_lang_id, _O_LANG_ID),
     "repetition_stats": (_q_repetition_stats, _O_REPETITION_STATS),

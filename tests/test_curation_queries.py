@@ -309,3 +309,18 @@ def test_length_quantiles_exact_definition(sf_dir):
                 params=[v, v, lang]).fetchone()
             assert at_or_below >= rank
             assert below_prev < rank
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_kmv_estimate_quality(sf_dir):
+    """The KMV estimate must land within the sketch's error envelope
+    (3/sqrt(k) relative — generous but falsifiable: the unmixed hash
+    measured 290x off), and k_eff must equal min(k, distinct hashes)."""
+    from spellchecker_wasm_spark.queries import _KMV_K
+
+    sql = CATALOG["distinct_tokens_kmv"][1]
+    con = _con(sf_dir)
+    bound = 3.0 / (_KMV_K ** 0.5)
+    for lang, k_eff, h_k, est, n_exact in con.sql(sql).fetchall():
+        assert abs(est - n_exact) / n_exact <= bound, (lang, est, n_exact)
+        assert k_eff == min(_KMV_K, n_exact) or k_eff <= n_exact
