@@ -2091,6 +2091,85 @@ FROM cum GROUP BY lang
 """
 
 
+# Deterministic integer PageRank over the term co-occurrence digraph
+# (edges = adjacent-token pairs).  Floating PageRank can't sit under a
+# cross-engine exact oracle (summation order changes the doubles), so
+# ranks are INTEGER mass units with the damping applied in integer
+# arithmetic: r' = 0.15·S + (85 · Σ_in (r div deg)) div 100 — both
+# engines compute identical BIGINTs every iteration, and the oracle
+# unrolls the three iterations as plain CTEs.  Dangling mass is dropped
+# (the standard simplified variant), documented here.
+_PR_SCALE = 10 ** 12
+_PR_ITERS = 3
+
+
+def _q_term_pagerank(spark, sf_dir):
+    """3-iteration integer PageRank over adjacent-term edges.
+
+    Scale shape: the classic distributed PageRank loop — per iteration
+    ONE join ranks⋈edges hash-partitioned on src and ONE aggregation on
+    dst; the node frame re-enters via a left join so isolated and
+    no-inbound nodes keep receiving the base mass.  Edge and node
+    frames are reused across iterations (same partitioning), and
+    nothing ever collects.  At 10^12 nodes each iteration is two
+    narrow shuffles — the textbook plan."""
+    toks = _tokens(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    arr = F.expr("filter(split(text, ' '), x -> x <> '')")
+    edges = (docs.select(arr.alias("a")).where(F.size("a") >= 2)
+             .select(F.explode(F.expr(
+                 "zip_with(slice(a, 1, size(a) - 1), "
+                 "slice(a, 2, size(a) - 1), (x, y) -> struct(x, y))"))
+                 .alias("e"))
+             .select(F.col("e.x").alias("src"), F.col("e.y").alias("dst"))
+             .distinct())
+    nodes = toks.select(F.col("term").alias("node")).distinct()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    base = int(0.15 * _PR_SCALE)
+    ranks = nodes.select("node", F.lit(_PR_SCALE).alias("rank"))
+    for _ in range(_PR_ITERS):
+        contrib = (ranks.join(deg, ranks.node == deg.src)
+                   .join(edges, "src")
+                   .select("dst", F.expr("rank div deg").alias("c"))
+                   .groupBy("dst").agg(F.sum("c").alias("s")))
+        ranks = (nodes.join(contrib, nodes.node == contrib.dst, "left")
+                 .select("node",
+                         (F.lit(base)
+                          + F.expr("(85 * coalesce(s, 0L)) div 100"))
+                         .alias("rank")))
+    return ranks.select("node", F.col("rank").alias("pagerank"))
+
+
+def _o_term_pagerank() -> str:
+    base = int(0.15 * _PR_SCALE)
+    its = []
+    prev = "r0"
+    for i in range(1, _PR_ITERS + 1):
+        its.append(f"""
+c{i} AS (SELECT e.dst, sum(r.rank // d.deg) AS s
+         FROM {prev} r JOIN deg d ON d.src = r.node
+         JOIN edges e ON e.src = r.node
+         GROUP BY e.dst),
+r{i} AS (SELECT n.node,
+                CAST({base} + (85 * coalesce(c.s, 0)) // 100 AS BIGINT)
+                    AS rank
+         FROM nodes n LEFT JOIN c{i} c ON c.dst = n.node)""")
+        prev = f"r{i}"
+    return f"""
+WITH arrs AS (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS l
+              FROM documents WHERE text IS NOT NULL),
+pos AS (SELECT unnest(range(1, (SELECT coalesce(max(len(l)), 1) + 1
+                                FROM arrs))) AS i),
+edges AS (SELECT DISTINCT l[i] AS src, l[i + 1] AS dst
+          FROM arrs, pos WHERE pos.i < len(l)),
+nodes AS (SELECT DISTINCT term AS node FROM ({_SQL_TOKS_NE})),
+deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+r0 AS (SELECT node, CAST({_PR_SCALE} AS BIGINT) AS rank FROM nodes),
+{",".join(its)}
+SELECT node, rank AS pagerank FROM {prev}
+"""
+
+
 # KMV (k-minimum-values) distinct-count sketch (Bar-Yossef et al. 2002,
 # public) — the deterministic cousin of HyperLogLog: hash every value,
 # keep the k smallest distinct hashes per group, estimate
@@ -3042,6 +3121,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     "curation_funnel": (_q_curation_funnel, _o_curation_funnel()),
     "length_quantiles": (_q_length_quantiles, _O_LENGTH_QUANTILES),
     "distinct_tokens_kmv": (_q_distinct_tokens_kmv, _O_DISTINCT_TOKENS_KMV),
+    "term_pagerank": (_q_term_pagerank, _o_term_pagerank()),
     "doc_chunks": (_q_doc_chunks, _O_DOC_CHUNKS),
     "lang_id": (_q_lang_id, _O_LANG_ID),
     "repetition_stats": (_q_repetition_stats, _O_REPETITION_STATS),

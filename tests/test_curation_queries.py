@@ -324,3 +324,33 @@ def test_kmv_estimate_quality(sf_dir):
     for lang, k_eff, h_k, est, n_exact in con.sql(sql).fetchall():
         assert abs(est - n_exact) / n_exact <= bound, (lang, est, n_exact)
         assert k_eff == min(_KMV_K, n_exact) or k_eff <= n_exact
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_pagerank_discriminates(sf_dir):
+    """Ranks must spread (not all equal — the iteration actually moved
+    mass), every rank carries at least the base mass, and rank must
+    correlate with in-degree at the extremes (max in-degree node ranks
+    strictly above any zero-in-degree node)."""
+    from spellchecker_wasm_spark.queries import _PR_SCALE
+
+    sql = CATALOG["term_pagerank"][1]
+    con = _con(sf_dir)
+    rows = con.sql(sql).fetchall()
+    ranks = {n: r for n, r in rows}
+    assert len(set(ranks.values())) > 1
+    base = int(0.15 * _PR_SCALE)
+    assert all(r >= base for r in ranks.values())
+    indeg = dict(con.sql("""
+        WITH arrs AS (SELECT list_filter(string_split(text, ' '),
+                                         x -> x <> '') AS l
+                      FROM documents WHERE text IS NOT NULL),
+        pos AS (SELECT unnest(range(1, (SELECT max(len(l)) + 1
+                                        FROM arrs))) AS i),
+        e AS (SELECT DISTINCT l[i] AS src, l[i+1] AS dst
+              FROM arrs, pos WHERE pos.i < len(l))
+        SELECT dst, count(*) FROM e GROUP BY dst""").fetchall())
+    top = max(ranks, key=lambda n: indeg.get(n, 0))
+    for n, r in ranks.items():
+        if indeg.get(n, 0) == 0:
+            assert ranks[top] > r
