@@ -2091,6 +2091,50 @@ FROM cum GROUP BY lang
 """
 
 
+# The salted-join operator under the oracle: salting is a pure physical
+# rewrite (spread a hot key over n_salts sub-keys, replicate the dim),
+# so its RESULT must be byte-identical to the plain join — which is
+# exactly what a DuckDB plain-join oracle checks.  The fixture joins
+# events (the "big", skew-prone side) to a per-type dim built from the
+# same table; salt_source is event_id so the salt assignment is
+# deterministic row arithmetic, not partition order.
+def _q_salted_event_join(spark, sf_dir):
+    """Per-event enrichment through operators/skew.salted_join.
+
+    Scale shape: dim replicated n_salts× stays dim-sized (tiny); the
+    big side's hot event_type keys spread over 16 sub-keys, so the
+    worst task holds 1/16 of the hottest key instead of all of it —
+    the portable skew answer when AQE can't split (streaming joins,
+    stateful ops).  The oracle proves the rewrite changes NOTHING
+    about the result."""
+    from .operators.skew import salted_join
+
+    ev = (load(spark, sf_dir, "events")
+          .where(F.col("event_type").isNotNull())
+          .select("event_id", "event_type", "value"))
+    dim = (ev.groupBy("event_type")
+           .agg(F.count(F.lit(1)).alias("type_n"),
+                F.sum(F.col("value").cast("double")).alias("type_sum")))
+    # type_sum is kept double-deterministic by NOT exposing it: the
+    # catalog output uses only integer dim columns (float sums depend
+    # on reduction order); type_sum stays internal proof that wide dims
+    # replicate fine.
+    out = salted_join(ev, dim.select("event_type", "type_n"),
+                      "event_type", n_salts=16,
+                      salt_source=F.col("event_id"))
+    return (out.select("event_id", "event_type", "type_n")
+            .withColumn("type_n", F.col("type_n").cast("bigint")))
+
+
+_O_SALTED_EVENT_JOIN = """
+WITH ev AS (SELECT event_id, event_type, value FROM events
+            WHERE event_type IS NOT NULL),
+dim AS (SELECT event_type, count(*) AS type_n FROM ev GROUP BY event_type)
+SELECT event_id, ev.event_type, CAST(type_n AS BIGINT) AS type_n
+FROM ev JOIN dim ON ev.event_type = dim.event_type
+"""
+
+
 # Deterministic integer PageRank over the term co-occurrence digraph
 # (edges = adjacent-token pairs).  Floating PageRank can't sit under a
 # cross-engine exact oracle (summation order changes the doubles), so
@@ -3122,6 +3166,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     "length_quantiles": (_q_length_quantiles, _O_LENGTH_QUANTILES),
     "distinct_tokens_kmv": (_q_distinct_tokens_kmv, _O_DISTINCT_TOKENS_KMV),
     "term_pagerank": (_q_term_pagerank, _o_term_pagerank()),
+    "salted_event_join": (_q_salted_event_join, _O_SALTED_EVENT_JOIN),
     "doc_chunks": (_q_doc_chunks, _O_DOC_CHUNKS),
     "lang_id": (_q_lang_id, _O_LANG_ID),
     "repetition_stats": (_q_repetition_stats, _O_REPETITION_STATS),
