@@ -2091,6 +2091,99 @@ FROM cum GROUP BY lang
 """
 
 
+# Event-funnel conversion: the ordered-step analytics query (view before
+# click before purchase, per user, by event time).  Min-timestamp per
+# (user, step) + ordered comparisons express sequence detection without
+# a per-user sort — one narrow aggregation, then a 3-way conditional.
+def _q_event_funnel(spark, sf_dir):
+    """Per-user ordered funnel: reached_view / reached_click /
+    reached_purchase where each step requires a strictly later (or
+    equal) first occurrence than the previous step.
+
+    Scale shape: ONE aggregation on user_id (map-side combined to three
+    min timestamps per user) and a projection — no per-user sort, no
+    window, no explode.  The funnel summary is a second fixed-width
+    aggregation to a single row."""
+    ev = (load(spark, sf_dir, "events")
+          .where(F.col("user_id").isNotNull() & F.col("ts").isNotNull()))
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts")))
+        .alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts")))
+        .alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts")))
+        .alias("t_purchase"))
+    s1 = F.col("t_view").isNotNull()
+    s2 = s1 & F.col("t_click").isNotNull() & (F.col("t_click")
+                                              >= F.col("t_view"))
+    s3 = s2 & F.col("t_purchase").isNotNull() & (F.col("t_purchase")
+                                                 >= F.col("t_click"))
+    return per_user.select(
+        "user_id",
+        s1.cast("int").alias("reached_view"),
+        s2.cast("int").alias("reached_click"),
+        s3.cast("int").alias("reached_purchase"))
+
+
+_O_EVENT_FUNNEL = """
+WITH per_user AS (
+    SELECT user_id,
+           min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+           min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+           min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+    FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    GROUP BY user_id)
+SELECT user_id,
+       CAST(t_view IS NOT NULL AS INTEGER) AS reached_view,
+       CAST(t_view IS NOT NULL AND t_click IS NOT NULL
+            AND t_click >= t_view AS INTEGER) AS reached_click,
+       CAST(t_view IS NOT NULL AND t_click IS NOT NULL
+            AND t_click >= t_view AND t_purchase IS NOT NULL
+            AND t_purchase >= t_click AS INTEGER) AS reached_purchase
+FROM per_user
+"""
+
+
+# Weekly retention cohorts: users grouped by first-activity week; for
+# each (cohort, offset) the count of cohort users active in
+# cohort_week + offset.  The standard product-analytics triangle.
+def _q_user_retention(spark, sf_dir):
+    """Cohort retention counts.
+
+    Scale shape: first-activity week is one aggregation on user_id;
+    activity weeks are a distinct on (user_id, week); the cohort join
+    is user_id-equi (co-partitioned with the first agg's output), and
+    the final count shuffles only (cohort_week, offset) pairs."""
+    ev = (load(spark, sf_dir, "events")
+          .where(F.col("user_id").isNotNull() & F.col("ts").isNotNull()))
+    weeks = ev.select(
+        "user_id",
+        F.date_trunc("week", F.col("ts")).cast("date").alias("week"))
+    first = weeks.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    active = weeks.distinct()
+    return (active.join(first, "user_id")
+            .select("cohort_week",
+                    F.datediff("week", "cohort_week").alias("offset_days"))
+            .groupBy("cohort_week", "offset_days")
+            .agg(F.count(F.lit(1)).alias("n_users"))
+            .withColumn("offset_weeks",
+                        F.expr("offset_days div 7").cast("int"))
+            .select("cohort_week", "offset_weeks", "n_users"))
+
+
+_O_USER_RETENTION = """
+WITH w AS (SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+           FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+first AS (SELECT user_id, min(week) AS cohort_week FROM w GROUP BY user_id),
+active AS (SELECT DISTINCT user_id, week FROM w)
+SELECT cohort_week,
+       CAST((week - cohort_week) // 7 AS INTEGER) AS offset_weeks,
+       count(*) AS n_users
+FROM active JOIN first USING (user_id)
+GROUP BY cohort_week, (week - cohort_week) // 7
+"""
+
+
 # The salted-join operator under the oracle: salting is a pure physical
 # rewrite (spread a hot key over n_salts sub-keys, replicate the dim),
 # so its RESULT must be byte-identical to the plain join — which is
@@ -3167,6 +3260,8 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     "distinct_tokens_kmv": (_q_distinct_tokens_kmv, _O_DISTINCT_TOKENS_KMV),
     "term_pagerank": (_q_term_pagerank, _o_term_pagerank()),
     "salted_event_join": (_q_salted_event_join, _O_SALTED_EVENT_JOIN),
+    "event_funnel": (_q_event_funnel, _O_EVENT_FUNNEL),
+    "user_retention": (_q_user_retention, _O_USER_RETENTION),
     "doc_chunks": (_q_doc_chunks, _O_DOC_CHUNKS),
     "lang_id": (_q_lang_id, _O_LANG_ID),
     "repetition_stats": (_q_repetition_stats, _O_REPETITION_STATS),
