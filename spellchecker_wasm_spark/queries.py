@@ -2091,6 +2091,93 @@ FROM cum GROUP BY lang
 """
 
 
+# Deterministic integer Lloyd k-means over the embedding table: the
+# training loop itself (assign → update → assign) under the exact
+# oracle.  Floating k-means can't cross-check (mean reduction order),
+# so vectors are ×1000-quantized BIGINTs, distances are integer squared
+# L2 (no sqrt — argmin invariant), and the centroid update is
+# element-wise integer mean (sum div count).  Ties and empty clusters
+# are deterministic: argmin breaks ties toward the smaller centroid id,
+# and an emptied cluster simply drops out of the codebook on both
+# engines.
+_KM_K = 8
+_KM_ITERS = 2
+
+
+def _q_kmeans_lloyd(spark, sf_dir):
+    """2-iteration Lloyd k-means; output is the final assignment
+    (vec_id, cluster, d2).
+
+    Scale shape: the codebook (k rows) is broadcast every iteration —
+    the corpus is never shuffled for assignment; the argmin compiles to
+    WindowGroupLimit (partial top-1 per vec before the exchange); the
+    update step shuffles (cid, dim) partial sums — k·64 accumulators —
+    with map-side combine.  This is exactly how production distributed
+    k-means iterates (broadcast codebook + tree-aggregated sums), minus
+    float nondeterminism."""
+    from pyspark.sql import Window
+
+    emb = (load(spark, sf_dir, "embeddings")
+           .select("vec_id", F.expr(
+               "transform(embedding, x -> CAST(round(x * 1000) AS BIGINT))")
+               .alias("v")))
+    cent = (emb.where(F.col("vec_id") < _KM_K)
+            .select(F.col("vec_id").cast("int").alias("cid"),
+                    F.col("v").alias("c")))
+    w = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    asg = None
+    for it in range(_KM_ITERS):
+        scored = (emb.crossJoin(F.broadcast(cent))
+                  .withColumn("d2", F.expr(
+                      "aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y)),"
+                      " 0L, (acc, z) -> acc + z)")))
+        asg = (scored.withColumn("rn", F.row_number().over(w))
+               .where(F.col("rn") == 1)
+               .select("vec_id", "cid", "v", "d2"))
+        if it < _KM_ITERS - 1:
+            pos = asg.select("cid", F.posexplode("v").alias("i", "val"))
+            cent = (pos.groupBy("cid", "i")
+                    .agg(F.sum("val").alias("s"),
+                         F.count(F.lit(1)).alias("n"))
+                    .select("cid", "i", F.expr("s div n").alias("m"))
+                    .groupBy("cid")
+                    .agg(F.array_sort(F.collect_list(F.struct("i", "m")))
+                         .alias("arr"))
+                    .select("cid", F.expr("transform(arr, p -> p.m)")
+                            .alias("c")))
+    return asg.select("vec_id", F.col("cid").alias("cluster"), "d2")
+
+
+def _o_kmeans_lloyd() -> str:
+    parts = [f"""
+e AS (SELECT vec_id, list_transform(embedding,
+             x -> CAST(round(x * 1000) AS BIGINT)) AS v
+      FROM embeddings),
+c0 AS (SELECT CAST(vec_id AS INTEGER) AS cid, v AS c
+       FROM e WHERE vec_id < {_KM_K})"""]
+    for it in range(_KM_ITERS):
+        parts.append(f"""
+s{it} AS (SELECT e.vec_id, c.cid, e.v,
+               CAST(list_sum(list_transform(list_zip(e.v, c.c),
+                   p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS d2
+        FROM e CROSS JOIN c{it} c),
+a{it} AS (SELECT vec_id, cid, v, d2 FROM (
+             SELECT vec_id, cid, v, d2, row_number() OVER (
+                 PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM s{it})
+        WHERE rn = 1)""")
+        if it < _KM_ITERS - 1:
+            parts.append(f"""
+p{it} AS (SELECT cid, i, v[i] AS val
+        FROM a{it}, unnest(range(1, len(v) + 1)) AS t(i)),
+m{it} AS (SELECT cid, i, sum(val) // count(*) AS m
+        FROM p{it} GROUP BY cid, i),
+c{it + 1} AS (SELECT cid, list(CAST(m AS BIGINT) ORDER BY i) AS c
+        FROM m{it} GROUP BY cid)""")
+    body = ",".join(parts)
+    return (f"WITH {body}\n"
+            f"SELECT vec_id, cid AS cluster, d2 FROM a{_KM_ITERS - 1}")
+
+
 # Event-funnel conversion: the ordered-step analytics query (view before
 # click before purchase, per user, by event time).  Min-timestamp per
 # (user, step) + ordered comparisons express sequence detection without
@@ -3260,6 +3347,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     "distinct_tokens_kmv": (_q_distinct_tokens_kmv, _O_DISTINCT_TOKENS_KMV),
     "term_pagerank": (_q_term_pagerank, _o_term_pagerank()),
     "salted_event_join": (_q_salted_event_join, _O_SALTED_EVENT_JOIN),
+    "kmeans_lloyd": (_q_kmeans_lloyd, _o_kmeans_lloyd()),
     "event_funnel": (_q_event_funnel, _O_EVENT_FUNNEL),
     "user_retention": (_q_user_retention, _O_USER_RETENTION),
     "doc_chunks": (_q_doc_chunks, _O_DOC_CHUNKS),

@@ -354,3 +354,34 @@ def test_pagerank_discriminates(sf_dir):
     for n, r in ranks.items():
         if indeg.get(n, 0) == 0:
             assert ranks[top] > r
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_kmeans_actually_clusters(sf_dir):
+    """The final assignment must use more than one cluster, all squared
+    distances are non-negative, and total inertia after the update
+    iteration must not exceed the inertia of the INITIAL codebook
+    assignment (Lloyd's monotonicity, preserved here because integer
+    centroid means still minimize within rounding)."""
+    from spellchecker_wasm_spark.queries import _KM_K
+
+    sql = CATALOG["kmeans_lloyd"][1]
+    con = _con(sf_dir)
+    rows = con.sql(sql).fetchall()
+    clusters = {c for _, c, _ in rows}
+    assert 1 < len(clusters) <= _KM_K
+    assert all(d2 >= 0 for _, _, d2 in rows)
+    final_inertia = sum(d2 for _, _, d2 in rows)
+    init_inertia, = con.sql(f"""
+        WITH e AS (SELECT vec_id, list_transform(embedding,
+                       x -> CAST(round(x * 1000) AS BIGINT)) AS v
+                   FROM embeddings),
+        c0 AS (SELECT CAST(vec_id AS INTEGER) AS cid, v AS c
+               FROM e WHERE vec_id < {_KM_K}),
+        s AS (SELECT e.vec_id,
+                     min(CAST(list_sum(list_transform(list_zip(e.v, c.c),
+                         p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT))
+                         AS d2
+              FROM e CROSS JOIN c0 c GROUP BY e.vec_id)
+        SELECT sum(d2) FROM s""").fetchone()
+    assert final_inertia <= init_inertia
