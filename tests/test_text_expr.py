@@ -147,3 +147,25 @@ def test_bpe_pattern_java_vs_re2_on_adversarial_strings(spark):
         want = con.execute("SELECT regexp_extract_all(?, ?)",
                            [text, _BPE_PAT]).fetchone()[0]
         assert got[i] == want, (text, got[i], want)
+
+
+def test_week_truncation_engine_agreement(spark):
+    """user_retention's one cross-engine risk is date_trunc('week')
+    semantics; pin that Spark and DuckDB agree on boundary timestamps
+    (week starts Monday on both): Monday/Sunday midnights, year
+    boundary, leap day, epoch, and a microsecond before week end."""
+    import duckdb
+
+    cases = ["2024-01-01 00:00:00", "2023-12-31 23:59:59",
+             "2024-02-29 12:00:00", "2024-06-02 00:00:00",
+             "2024-06-03 00:00:00", "1970-01-01 00:00:00",
+             "2024-06-09 23:59:59.999999"]
+    sdf = (spark.createDataFrame([(c,) for c in cases], ["s"])
+           .select("s", F.date_trunc("week", F.col("s").cast("timestamp"))
+                   .cast("date").alias("w")))
+    srows = {r["s"]: str(r["w"]) for r in sdf.collect()}
+    con = duckdb.connect()
+    for c in cases:
+        dw, = con.sql("SELECT CAST(date_trunc('week', CAST(? AS TIMESTAMP))"
+                      " AS DATE)", params=[c]).fetchone()
+        assert srows[c] == str(dw), (c, srows[c], dw)
