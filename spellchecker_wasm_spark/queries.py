@@ -2271,6 +2271,68 @@ GROUP BY cohort_week, (week - cohort_week) // 7
 """
 
 
+# Reciprocal-rank fusion of the two ANN retrievers (Cormack et al. 2009,
+# public) — the hybrid-retrieval combine step.  RRF is oracle-safe here
+# because the score is a FIXED-ORDER sum of exactly two coalesced double
+# terms (no aggregation-order nondeterminism), and ranking ties break on
+# neighbor id.
+_RRF_K = 60
+
+
+def _q_ann_rrf_fusion(spark, sf_dir):
+    """Fuse LSH-bucketed and IVF top-5 lists per query with RRF; output
+    the fused top-5.
+
+    Scale shape: both retriever frames are the existing plan-audited
+    ANN operators; the fusion is ONE full-outer equi-join on
+    (query_id, neighbor_id) — both sides are already top-k-bounded, so
+    the join input is k·|queries| rows — and a WindowGroupLimit top-5
+    per query."""
+    from pyspark.sql import Window
+
+    lsh = _q_ann_topk_lsh(spark, sf_dir).withColumnRenamed("rank", "r1")
+    ivf = _q_ann_ivf_topk(spark, sf_dir).withColumnRenamed("rank", "r2")
+    j = lsh.join(ivf, ["query_id", "neighbor_id"], "full")
+    score = (F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("r1")),
+                        F.lit(0.0))
+             + F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("r2")),
+                          F.lit(0.0)))
+    w = Window.partitionBy("query_id").orderBy(F.desc("rrf_score"),
+                                               F.asc("neighbor_id"))
+    return (j.withColumn("rrf_score", score)
+            .withColumn("in_both",
+                        (F.col("r1").isNotNull() & F.col("r2").isNotNull())
+                        .cast("int"))
+            .withColumn("fused_rank", F.row_number().over(w))
+            .where(F.col("fused_rank") <= 5)
+            .select("query_id", "neighbor_id",
+                    F.col("fused_rank").cast("int").alias("fused_rank"),
+                    "rrf_score", "in_both"))
+
+
+def _o_ann_rrf_fusion() -> str:
+    return f"""
+WITH lsh AS ({_o_ann_topk_sql()}),
+ivf AS ({_O_ANN_IVF}),
+j AS (SELECT coalesce(l.query_id, i.query_id) AS query_id,
+             coalesce(l.neighbor_id, i.neighbor_id) AS neighbor_id,
+             l.rank AS r1, i.rank AS r2
+      FROM lsh l FULL JOIN ivf i
+        ON i.query_id = l.query_id AND i.neighbor_id = l.neighbor_id),
+s AS (SELECT query_id, neighbor_id,
+             coalesce(CAST(1 AS DOUBLE) / ({_RRF_K} + r1), 0)
+             + coalesce(CAST(1 AS DOUBLE) / ({_RRF_K} + r2), 0)
+                 AS rrf_score,
+             CAST(r1 IS NOT NULL AND r2 IS NOT NULL AS INTEGER) AS in_both
+      FROM j)
+SELECT query_id, neighbor_id, fused_rank, rrf_score, in_both FROM (
+    SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        ORDER BY rrf_score DESC, neighbor_id ASC) AS INTEGER) AS fused_rank
+    FROM s)
+WHERE fused_rank <= 5
+"""
+
+
 # The salted-join operator under the oracle: salting is a pure physical
 # rewrite (spread a hot key over n_salts sub-keys, replicate the dim),
 # so its RESULT must be byte-identical to the plain join — which is
@@ -3331,6 +3393,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     "ann_lsh_buckets": (_q_ann_lsh_buckets, _o_lsh_sql()),
     "ann_topk_lsh": (_q_ann_topk_lsh, _o_ann_topk_sql()),
     "ann_ivf_topk": (_q_ann_ivf_topk, _O_ANN_IVF),
+    "ann_rrf_fusion": (_q_ann_rrf_fusion, _o_ann_rrf_fusion()),
     "token_counts": (_q_token_counts, _O_TOKEN_COUNTS),
     "text_stats": (_q_text_stats, _O_TEXT_STATS),
     "doc_fingerprint": (_q_doc_fingerprint, _O_DOC_FINGERPRINT),
