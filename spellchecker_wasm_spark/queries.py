@@ -3338,6 +3338,46 @@ def _q_stream_windowed_counts(spark, sf_dir):
                     "event_type", "n", "value_cents"))
 
 
+def _q_stream_event_funnel(spark, sf_dir):
+    """event_funnel as a STREAM: the three conditional-min timestamps
+    are monotone aggregates, so per-user funnel state is exactly three
+    scalars maintained across micro-batches (complete-mode stateful
+    agg); the ordered-step flags are a stateless projection of the
+    final state, so the batch event_funnel oracle applies verbatim —
+    streamed result == batch result, proven by the same value hash."""
+    import uuid
+
+    schema = load(spark, sf_dir, "events").schema
+    path = _stream_two_file_source(spark, sf_dir, "events", "ts")
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(path + "/*"))
+    per_user = (stream
+                .where(F.col("user_id").isNotNull()
+                       & F.col("ts").isNotNull())
+                .groupBy("user_id").agg(
+                    F.min(F.when(F.col("event_type") == "view",
+                                 F.col("ts"))).alias("t_view"),
+                    F.min(F.when(F.col("event_type") == "click",
+                                 F.col("ts"))).alias("t_click"),
+                    F.min(F.when(F.col("event_type") == "purchase",
+                                 F.col("ts"))).alias("t_purchase")))
+    name = "stream_funnel_" + uuid.uuid4().hex[:8]
+    q = (per_user.writeStream.format("memory").queryName(name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    state = spark.table(name)
+    s1 = F.col("t_view").isNotNull()
+    s2 = s1 & F.col("t_click").isNotNull() & (F.col("t_click")
+                                              >= F.col("t_view"))
+    s3 = s2 & F.col("t_purchase").isNotNull() & (F.col("t_purchase")
+                                                 >= F.col("t_click"))
+    return state.select(
+        "user_id",
+        s1.cast("int").alias("reached_view"),
+        s2.cast("int").alias("reached_click"),
+        s3.cast("int").alias("reached_purchase"))
+
+
 _O_STREAM_WINDOWED_COUNTS = """
 WITH e AS (SELECT make_timestamp(CAST(floor(epoch(ts) / 600) * 600
                                       AS BIGINT) * 1000000)
@@ -3427,6 +3467,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     "user_rolling": (_q_user_rolling, _O_USER_ROLLING),
     "stream_dedup_exact": (_q_stream_dedup_exact, _O_DEDUP_EXACT),
     "stream_event_sessions": (_q_stream_event_sessions, _O_EVENT_SESSIONS),
+    "stream_event_funnel": (_q_stream_event_funnel, _O_EVENT_FUNNEL),
     "stream_windowed_counts": (_q_stream_windowed_counts,
                                _O_STREAM_WINDOWED_COUNTS),
     "event_type_topk": (_q_event_type_topk, _O_EVENT_TYPE_TOPK),
