@@ -2271,6 +2271,50 @@ GROUP BY cohort_week, (week - cohort_week) // 7
 """
 
 
+# The sink path under the oracle: every other catalog entry reads; this
+# one WRITES the admitted corpus as lang-partitioned parquet (the layout
+# a curated training corpus ships in), reads it back, and aggregates —
+# so partition pruning-friendly layout, write, and read-back round-trip
+# all sit under the same value-exact gate.
+def _q_sink_partitioned_roundtrip(spark, sf_dir):
+    """Write quality+budget-admitted docs partitioned by lang, read the
+    written dataset back, return per-lang doc/token counts.
+
+    Scale shape: the write is the standard partitionBy(lang) parquet
+    sink (one file set per lang per task — at 10^12 docs you'd bucket
+    within lang too); the read-back scans ONLY the written dataset.
+    The oracle recomputes the admission in SQL, so a green row proves
+    the sink round-trip loses and alters nothing."""
+    import tempfile
+
+    quality = _q_quality_filter(spark, sf_dir).select("doc_id", "keep")
+    budget = _q_token_budget_mix(spark, sf_dir).select(
+        "doc_id", "lang", "n_tokens", "kept")
+    admitted = (budget.join(quality, "doc_id")
+                .where((F.col("keep") == 1) & (F.col("kept") == 1))
+                .select("doc_id", "lang", "n_tokens"))
+    out = tempfile.mkdtemp(prefix="curated_sink_")
+    (admitted.write.mode("overwrite").partitionBy("lang").parquet(out))
+    back = spark.read.parquet(out)
+    return (back.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").alias("n_tokens"))
+            .select("lang", "n_docs",
+                    F.col("n_tokens").cast("bigint").alias("n_tokens")))
+
+
+def _o_sink_partitioned_roundtrip() -> str:
+    return f"""
+WITH b AS ({_O_TOKEN_BUDGET_MIX}),
+q AS ({_O_QUALITY_FILTER}),
+adm AS (SELECT b.doc_id, b.lang, b.n_tokens
+        FROM b JOIN q ON q.doc_id = b.doc_id
+        WHERE q.keep = 1 AND b.kept = 1)
+SELECT lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+FROM adm GROUP BY lang
+"""
+
+
 # Reciprocal-rank fusion of the two ANN retrievers (Cormack et al. 2009,
 # public) — the hybrid-retrieval combine step.  RRF is oracle-safe here
 # because the score is a FIXED-ORDER sum of exactly two coalesced double
@@ -3434,6 +3478,8 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     "ann_topk_lsh": (_q_ann_topk_lsh, _o_ann_topk_sql()),
     "ann_ivf_topk": (_q_ann_ivf_topk, _O_ANN_IVF),
     "ann_rrf_fusion": (_q_ann_rrf_fusion, _o_ann_rrf_fusion()),
+    "sink_partitioned_roundtrip": (_q_sink_partitioned_roundtrip,
+                                   _o_sink_partitioned_roundtrip()),
     "token_counts": (_q_token_counts, _O_TOKEN_COUNTS),
     "text_stats": (_q_text_stats, _O_TEXT_STATS),
     "doc_fingerprint": (_q_doc_fingerprint, _O_DOC_FINGERPRINT),
