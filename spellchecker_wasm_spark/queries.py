@@ -2315,6 +2315,50 @@ FROM adm GROUP BY lang
 """
 
 
+# Text-format source coverage: round-trip the documents table through
+# newline-delimited JSON (the interchange format web-corpus dumps
+# actually arrive in) with an EXPLICIT schema on read — schema-on-read
+# without inference is the only scalable pattern (inference is a full
+# extra pass at 10^12 docs).  The oracle reads the original parquet, so
+# green proves JSON serialization round-trips every value and type.
+def _q_source_json_roundtrip(spark, sf_dir):
+    """documents → NDJSON → read back (explicit schema) → fingerprint
+    aggregate per lang; value-exact vs the parquet-sourced oracle."""
+    import tempfile
+
+    docs = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    out = tempfile.mkdtemp(prefix="json_source_")
+    docs.write.mode("overwrite").json(out)
+    back = spark.read.schema(docs.schema).json(out)
+    return (back.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").alias("sum_chars"),
+                 F.sum(F.expr(
+                     "aggregate(transform(filter(split(text, ''), "
+                     "c -> c <> ''), c -> ascii(c)), 0L, "
+                     "(acc, c) -> (acc * 31 + c) % 2147483647)"))
+                 .alias("text_poly_sum"))
+            .select("lang", "n_docs",
+                    F.col("sum_chars").cast("bigint").alias("sum_chars"),
+                    F.col("text_poly_sum").cast("bigint")
+                    .alias("text_poly_sum")))
+
+
+_O_SOURCE_JSON_ROUNDTRIP = """
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(sum(list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+               list_transform(
+                   list_filter(string_split(text, ''), c -> c <> ''),
+                   c -> CAST(unicode(c) AS BIGINT))),
+           (acc, c) -> (acc * 31 + c) % 2147483647)) AS BIGINT)
+           AS text_poly_sum
+FROM documents WHERE text IS NOT NULL
+GROUP BY lang
+"""
+
+
 # Reciprocal-rank fusion of the two ANN retrievers (Cormack et al. 2009,
 # public) — the hybrid-retrieval combine step.  RRF is oracle-safe here
 # because the score is a FIXED-ORDER sum of exactly two coalesced double
@@ -3480,6 +3524,8 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     "ann_rrf_fusion": (_q_ann_rrf_fusion, _o_ann_rrf_fusion()),
     "sink_partitioned_roundtrip": (_q_sink_partitioned_roundtrip,
                                    _o_sink_partitioned_roundtrip()),
+    "source_json_roundtrip": (_q_source_json_roundtrip,
+                              _O_SOURCE_JSON_ROUNDTRIP),
     "token_counts": (_q_token_counts, _O_TOKEN_COUNTS),
     "text_stats": (_q_text_stats, _O_TEXT_STATS),
     "doc_fingerprint": (_q_doc_fingerprint, _O_DOC_FINGERPRINT),
