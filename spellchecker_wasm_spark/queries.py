@@ -3479,6 +3479,209 @@ FROM e GROUP BY 1, 2
 """
 
 
+# --- URL canonicalization + host rollup (north-star input is keyed by
+# url:string; canonical urls are the join/group keys of every crawl
+# pipeline).  The fixture has no url column, so both engines synthesize
+# one DETERMINISTICALLY from (doc_id, first two tokens) with seeded
+# messiness — scheme/host case, www. label, default vs load-bearing
+# ports, tracking params, fragments, trailing slashes — then the Spark
+# side canonicalizes via functions/url_expr.canonical_url and the oracle
+# re-derives the same form in SQL.  Rule set documented in url_expr.py.
+
+
+def _synth_url_col():
+    d = F.col("doc_id")
+    s = d.cast("string")
+    return F.concat(
+        F.when(d % 2 == 0, F.lit("HTTPS")).otherwise(F.lit("http")),
+        F.lit("://"),
+        F.when(d % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.element_at("w", 1), F.lit(".example"),
+        F.when(d % 5 == 0, F.lit(".COM")).otherwise(F.lit(".org")),
+        F.when(d % 4 == 0, F.lit(":443"))
+         .when(d % 4 == 1, F.lit(":80"))
+         .when(d % 4 == 2, F.lit(":8080")).otherwise(F.lit("")),
+        F.lit("/"), F.element_at("w", 2),
+        F.when(d % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(d % 3 == 0,
+               F.concat(F.lit("?utm_source=feed&id="), s, F.lit("&b=2")))
+         .when(d % 3 == 1, F.concat(F.lit("?id="), s)).otherwise(F.lit("")),
+        F.when(d % 7 == 0, F.lit("#frag")).otherwise(F.lit("")))
+
+
+def _url_pages(spark, sf_dir):
+    from .functions.url_expr import canonical_url, registered_domain, \
+        url_host
+    docs = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    raw = (docs.select("doc_id", F.expr(
+        "filter(split(text, ' '), x -> x <> '')").alias("w"))
+        .select("doc_id", _synth_url_col().alias("url")))
+    u = F.col("url")
+    host = url_host(u)
+    return raw.select("doc_id", "url",
+                      canonical_url(u).alias("url_canon"),
+                      host.alias("host"),
+                      registered_domain(host).alias("reg_domain"))
+
+
+def _q_url_canonicalize(spark, sf_dir):
+    """Per-row RFC-3986-subset URL canonicalization (url_expr.py rules).
+
+    Scale shape: a pure projection of codegen built-ins (regexp/lower/
+    array_sort) that fuses into the scan — no UDF, no shuffle, no action;
+    at 10^12 rows this is one whole-stage-codegen pass."""
+    return _url_pages(spark, sf_dir)
+
+
+# the synthesis + canonicalization, shared by both url oracles
+_O_URL_PAGES = r"""
+w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
+      FROM documents WHERE text IS NOT NULL),
+raw AS (SELECT doc_id, concat(
+     CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'http' END, '://',
+     CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END,
+     l[1], '.example',
+     CASE WHEN doc_id % 5 = 0 THEN '.COM' ELSE '.org' END,
+     CASE doc_id % 4 WHEN 0 THEN ':443' WHEN 1 THEN ':80'
+                     WHEN 2 THEN ':8080' ELSE '' END,
+     '/', l[2], CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END,
+     CASE WHEN doc_id % 3 = 0
+          THEN concat('?utm_source=feed&id=', doc_id, '&b=2')
+          WHEN doc_id % 3 = 1 THEN concat('?id=', doc_id) ELSE '' END,
+     CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END) AS url FROM w),
+parts AS (SELECT doc_id, url,
+     lower(regexp_extract(url, '^([^:/?#]+)://', 1)) AS scheme,
+     regexp_extract(url, '^[^:/?#]+://([^/?#]*)', 1) AS hostport,
+     regexp_replace(regexp_extract(url, '^[^:/?#]+://[^/?#]*(/[^?#]*)', 1),
+                    '/+$', '') AS path,
+     regexp_extract(url, '\?([^#]*)', 1) AS qraw FROM raw),
+parts2 AS (SELECT *,
+     regexp_replace(lower(regexp_extract(hostport, '^([^:]*)', 1)),
+                    '^www\.', '') AS host,
+     regexp_extract(hostport, ':([0-9]+)$', 1) AS port FROM parts),
+parts3 AS (SELECT *,
+     CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+               OR (scheme = 'https' AND port = '443')
+          THEN '' ELSE concat(':', port) END AS kport,
+     coalesce(array_to_string(list_sort(list_filter(
+        string_split(qraw, '&'),
+        x -> x <> '' AND NOT (starts_with(x, 'utm_')
+             OR starts_with(x, 'fbclid=') OR starts_with(x, 'gclid=')
+             OR starts_with(x, 'ref=')))), '&'), '') AS q FROM parts2),
+pages AS (SELECT doc_id, url,
+       concat(scheme, '://', host, kport, path,
+              CASE WHEN q = '' THEN '' ELSE concat('?', q) END) AS url_canon,
+       host,
+       coalesce(nullif(regexp_extract(host, '([^.]+\.[^.]+)$', 1), ''),
+                host) AS reg_domain
+FROM parts3)"""
+
+_O_URL_CANONICALIZE = (f"WITH {_O_URL_PAGES} "
+                       "SELECT doc_id, url, url_canon, host, reg_domain "
+                       "FROM pages")
+
+
+def _q_domain_stats(spark, sf_dir):
+    """Registered-domain rollup over canonical urls — the per-site crawl
+    accounting every pipeline runs (politeness budgets, per-site dedup,
+    domain-level quality priors).
+
+    Scale shape: ONE hash aggregate on reg_domain; distinct host /
+    distinct canonical-url are exact sub-aggregates riding the same
+    shuffle (Spark plans count(distinct) via a two-phase expand — still
+    a single exchange on the group key).  At 10^12 rows the group-key
+    cardinality (registered domains ~10^8) keeps partial aggregation
+    effective; a skewed mega-domain is bounded by the partial agg's
+    map-side combine."""
+    pages = _url_pages(spark, sf_dir)
+    return (pages.groupBy("reg_domain")
+            .agg(F.count(F.lit(1)).alias("n_pages"),
+                 F.countDistinct("host").alias("n_hosts"),
+                 F.countDistinct("url_canon").alias("n_urls"),
+                 F.min("doc_id").alias("first_doc")))
+
+
+_O_DOMAIN_STATS = (f"WITH {_O_URL_PAGES} "
+                   "SELECT reg_domain, CAST(count(*) AS BIGINT) AS n_pages, "
+                   "CAST(count(DISTINCT host) AS BIGINT) AS n_hosts, "
+                   "CAST(count(DISTINCT url_canon) AS BIGINT) AS n_urls, "
+                   "min(doc_id) AS first_doc FROM pages GROUP BY reg_domain")
+
+
+# --- CCNet-style cross-corpus boilerplate removal: hash-partition the
+# corpus BY PARAGRAPH (here: non-overlapping token windows), keep only
+# the first occurrence of each repeated paragraph, reassemble documents.
+# (Wenzek et al. 2020 dedups CC paragraphs exactly this way.)
+_BP_CHUNK_TOKENS = 8
+
+
+def _q_boilerplate_chunks(spark, sf_dir):
+    """Cross-corpus duplicate-paragraph removal (CCNet shape).
+
+    A chunk instance survives iff it is the FIRST occurrence of its text
+    corpus-wide (ordered by doc_id, start — deterministic); each doc is
+    reassembled from its surviving chunks in order.
+
+    Scale shape: map-side chunk explode (no shuffle) → ONE shuffle
+    partitioned by chunk_text for the first-occurrence window (the CCNet
+    hash-shard step; key cardinality ~= corpus size so no skew beyond
+    true boilerplate, and a truly hot chunk — a shared header — is
+    exactly what the operator exists to collapse; its window only needs
+    the min, which AQE skew-split handles since rank-1 selection is a
+    WindowGroupLimit min) → ONE shuffle back to doc_id for reassembly.
+    Two narrow shuffles total; no driver state."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    arrs = (docs.select("doc_id", F.expr(
+        "filter(split(text, ' '), x -> x <> '')").alias("w"))
+        .where(F.size("w") >= 1))
+    chunks = (arrs.select(
+        "doc_id",
+        F.explode(F.expr(f"sequence(1, size(w), {_BP_CHUNK_TOKENS})"))
+        .alias("start"), "w")
+        .select("doc_id", F.col("start").cast("int").alias("start"),
+                F.expr(f"array_join(slice(w, start, {_BP_CHUNK_TOKENS}), ' ')")
+                .alias("chunk")))
+    w_first = (Window.partitionBy("chunk")
+               .orderBy("doc_id", "start"))
+    flagged = chunks.withColumn(
+        "kept", (F.row_number().over(w_first) == 1))
+    return (flagged.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_chunks"),
+                 F.sum(F.col("kept").cast("bigint")).alias("n_kept"),
+                 F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(
+                             F.when(F.col("kept"),
+                                    F.struct("start", "chunk")))),
+                         lambda s: s["chunk"]),
+                     " ").alias("kept_text")))
+
+
+_O_BOILERPLATE_CHUNKS = f"""
+WITH arrs AS (SELECT doc_id,
+                     list_filter(string_split(text, ' '), x -> x <> '') AS l
+              FROM documents WHERE text IS NOT NULL AND len(
+                  list_filter(string_split(text, ' '), x -> x <> '')) >= 1),
+st AS (SELECT doc_id, l,
+              unnest(range(1, len(l) + 1, {_BP_CHUNK_TOKENS})) AS start
+       FROM arrs),
+ch AS (SELECT doc_id, CAST(start AS INTEGER) AS start,
+              array_to_string(l[start : start + {_BP_CHUNK_TOKENS} - 1], ' ')
+                  AS chunk
+       FROM st),
+rk AS (SELECT *, row_number() OVER (PARTITION BY chunk
+                                    ORDER BY doc_id, start) AS rn
+       FROM ch)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END, ' '
+                           ORDER BY start), '') AS kept_text
+FROM rk GROUP BY doc_id
+"""
+
+
 # oracle field: a literal SQL string, a callable (sf_dir) -> SQL for
 # oracles whose expected values are precomputed per scale factor
 # (compound_correct), or None for a rows-only contract entry
@@ -3546,6 +3749,9 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     "event_funnel": (_q_event_funnel, _O_EVENT_FUNNEL),
     "user_retention": (_q_user_retention, _O_USER_RETENTION),
     "doc_chunks": (_q_doc_chunks, _O_DOC_CHUNKS),
+    "url_canonicalize": (_q_url_canonicalize, _O_URL_CANONICALIZE),
+    "domain_stats": (_q_domain_stats, _O_DOMAIN_STATS),
+    "boilerplate_chunks": (_q_boilerplate_chunks, _O_BOILERPLATE_CHUNKS),
     "lang_id": (_q_lang_id, _O_LANG_ID),
     "repetition_stats": (_q_repetition_stats, _O_REPETITION_STATS),
     "tfidf_topk": (_q_tfidf_topk, _O_TFIDF_TOPK),
