@@ -3622,16 +3622,16 @@ def _q_boilerplate_chunks(spark, sf_dir):
     corpus-wide (ordered by doc_id, start — deterministic); each doc is
     reassembled from its surviving chunks in order.
 
-    Scale shape: map-side chunk explode (no shuffle) → ONE shuffle
-    partitioned by chunk_text for the first-occurrence window (the CCNet
-    hash-shard step; key cardinality ~= corpus size so no skew beyond
-    true boilerplate, and a truly hot chunk — a shared header — is
-    exactly what the operator exists to collapse; its window only needs
-    the min, which AQE skew-split handles since rank-1 selection is a
-    WindowGroupLimit min) → ONE shuffle back to doc_id for reassembly.
-    Two narrow shuffles total; no driver state."""
-    from pyspark.sql import Window
-
+    Scale shape: AGGREGATIONS ONLY — no window, no fat join.  Map-side
+    chunk explode (zero shuffle) → groupBy(chunk).min(struct(doc_id,
+    start)) picks each chunk's first occurrence, so a truly hot chunk (a
+    shared site header repeated 10^9 times — the very thing the operator
+    exists to collapse) is absorbed by map-side partial aggregation
+    instead of buffering one executor's window sort; the survivors (one
+    row per DISTINCT chunk) re-aggregate by first-occurrence doc_id for
+    reassembly, and a third narrow per-doc count supplies the total-
+    instances denominator via a co-partitioned doc_id join.  Every
+    exchange carries combine-reduced rows; no key can straggle."""
     docs = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     arrs = (docs.select("doc_id", F.expr(
         "filter(split(text, ' '), x -> x <> '')").alias("w"))
@@ -3643,20 +3643,26 @@ def _q_boilerplate_chunks(spark, sf_dir):
         .select("doc_id", F.col("start").cast("int").alias("start"),
                 F.expr(f"array_join(slice(w, start, {_BP_CHUNK_TOKENS}), ' ')")
                 .alias("chunk")))
-    w_first = (Window.partitionBy("chunk")
-               .orderBy("doc_id", "start"))
-    flagged = chunks.withColumn(
-        "kept", (F.row_number().over(w_first) == 1))
-    return (flagged.groupBy("doc_id")
-            .agg(F.count(F.lit(1)).alias("n_chunks"),
-                 F.sum(F.col("kept").cast("bigint")).alias("n_kept"),
+    totals = chunks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"))
+    # first occurrence per distinct chunk: lexicographic struct min ==
+    # ORDER BY doc_id, start — deterministic and combine-friendly
+    first = chunks.groupBy("chunk").agg(
+        F.min(F.struct("doc_id", "start")).alias("f"))
+    kept = (first.select(F.col("f.doc_id").alias("doc_id"),
+                         F.col("f.start").alias("start"), "chunk")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_kept"),
                  F.array_join(
                      F.transform(
                          F.array_sort(F.collect_list(
-                             F.when(F.col("kept"),
-                                    F.struct("start", "chunk")))),
+                             F.struct("start", "chunk"))),
                          lambda s: s["chunk"]),
                      " ").alias("kept_text")))
+    return (totals.join(kept, "doc_id", "left")
+            .select("doc_id", "n_chunks",
+                    F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+                    F.coalesce("kept_text", F.lit("")).alias("kept_text")))
 
 
 _O_BOILERPLATE_CHUNKS = f"""
