@@ -189,6 +189,9 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     mode = os.environ.get("BENCH_MODE", "full")
     sf_name = os.path.basename(sf_dir.rstrip("/"))
+    la_start = os.getloadavg()[0]
+    cpu_start = _tree_cpu_core_sec()
+    t_start = time.time()
     spark = get_spark(app_name=f"bench-{sf_name}", cpus=cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -221,6 +224,20 @@ def main() -> None:
         "cpus": cpus,
         "pipeline": pipeline,
         "candidate_pairs_scored_per_sec": pipeline["pairs_scored_per_sec"],
+    }
+    # Host disclosure: this box is shared, and readings taken in a
+    # degraded window have historically been 3-10x off (BENCH/*.md).
+    # loadavg bracketing + this run's own java/python CPU make external
+    # contention visible in the record itself: when loadavg far exceeds
+    # tree_cpu_core_sec/wall, someone else had the cores.
+    wall = time.time() - t_start
+    out["host"] = {
+        "loadavg_start": round(la_start, 2),
+        "loadavg_end": round(os.getloadavg()[0], 2),
+        "wall_sec": round(wall, 1),
+        "tree_cpu_core_sec": round(_tree_cpu_core_sec() - cpu_start, 1),
+        "tree_cpu_per_wall": round(
+            (_tree_cpu_core_sec() - cpu_start) / max(wall, 1e-9), 2),
     }
     spark.stop()
     print(json.dumps(out))
