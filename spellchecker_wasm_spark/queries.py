@@ -51,9 +51,11 @@ _SQL_TOKS_NE = f"SELECT * FROM ({_SQL_TOKS}) WHERE term <> ''"
 # (create_deletes/edits, sym_spell.rs:216-261): prefix-truncate to 7, then
 # up to 2 single-codepoint deletions; recursion stops at 1-BYTE subjects
 # (strlen = bytes); '' additionally keyed for terms of <=2 codepoints.
-_SQL_BLOCKS = f"""
-toks AS ({_SQL_TOKS_NE}),
-terms AS (SELECT DISTINCT term FROM toks),
+def _sql_blocks_over(terms_sql: str) -> str:
+    """The delete-neighborhood blocks CTE over an arbitrary one-column
+    (term) subquery — shared by the token-vocabulary oracles and the
+    page-title linkage oracle."""
+    return f"""terms AS ({terms_sql}),
 pos AS (SELECT unnest(range(1, 64)) AS i),
 seed AS (SELECT term,
                 CASE WHEN length(term) > 7 THEN substr(term, 1, 7)
@@ -72,6 +74,11 @@ blocks AS (
     UNION
     SELECT DISTINCT term, '' AS block_key FROM terms WHERE length(term) <= 2
 )"""
+
+
+_SQL_BLOCKS = f"""
+toks AS ({_SQL_TOKS_NE}),
+{_sql_blocks_over('SELECT DISTINCT term FROM toks')}"""
 
 _SQL_CAND_PAIRS = f"""WITH RECURSIVE {_SQL_BLOCKS},
 cand AS (
@@ -3688,6 +3695,172 @@ FROM rk GROUP BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# linkage_f1: the north-rule metric itself — pairwise precision/recall/F1 of
+# the blocking + OSA-verification pipeline against complete truth labels —
+# as an oracle-checked catalog row.
+#
+# Entities are derived deterministically from part.p_partkey (no external
+# data): a hashed 8-letter slug anchors each entity, and two variants
+# (one deletion, one substitution, positions/letters all h-derived) give
+# 3 labeled pages per entity — every within-entity pair is a match at
+# OSA <= 2 by construction (the label invariant the synthetic web-page
+# fixture in pipeline/webpages.py enforces with real edits), and distinct
+# entities sit at large distances with overwhelming probability.
+#
+# The slug hash MUST be nonlinear: any affine map (Knuth multiplicative
+# included) sends the partkey arithmetic progression to one whose pairwise
+# differences are fixed per key gap, and base-26 digit patterns of a fixed
+# difference repeat across ALL entity pairs at that gap — measured 308
+# false-positive pairs (F1 0.975) at sf0.01 with a single multiply-mod.
+# Quadratic residues g = h^2 + h (mod p) make the pair difference
+# 2hD + D^2 vary with h, restoring per-digit independence; two
+# independently-seeded residues supply 4 high-entropy base-26 digits each.
+# The arithmetic is plain BIGINT + correctly-rounded double ops shared
+# TEXTUALLY between both engines: h < 2^31 keeps h*h inside BIGINT, and
+# floor(g/26^i) is exact in IEEE double for g < 2^31 (1/x < ulp crossing
+# requires g > 2^52), so the slugs are bit-identical across Spark and
+# DuckDB.
+#
+# Predicted pairs run the REAL pipeline operators (build_blocks's
+# pure-Catalyst delete keys -> candidate_pairs slim-id self-join ->
+# score_pairs JVM-prefiltered Arrow OSA); the oracle replays blocking with
+# the recursive delete CTE and verifies with damerau_levenshtein (== OSA
+# on every constructed pair: the variants contain no transpositions).
+# F1 uses the algebraic 2·tp/(pp+tt) form so every float is ONE division
+# of exact integers — exact cross-engine identity.
+_LK_ALPHA = "abcdefghijklmnopqrstuvwxyz"
+
+
+def _lk_digit(col: str, i: int) -> str:
+    return f"CAST(floor({col} / {26 ** i}) AS BIGINT) % 26"
+
+
+_LK_SLUG = "concat(" + ", ".join(
+    f"substr('{_LK_ALPHA}', {_lk_digit(c, i)} + 1, 1)"
+    for c in ("g1", "g2") for i in range(4)) + ")"
+_LK_D1 = "CAST(h % 8 AS BIGINT) + 1"
+_LK_D2 = "CAST(floor(h / 8) AS BIGINT) % 8 + 1"
+_LK_SUB = f"substr('{_LK_ALPHA}', CAST(floor(h / 64) AS BIGINT) % 26 + 1, 1)"
+_LK_V1 = (f"concat(substr(s, 1, {_LK_D1} - 1), "
+          f"substr(s, {_LK_D1} + 1))")
+_LK_V2 = (f"concat(substr(s, 1, {_LK_D2} - 1), {_LK_SUB}, "
+          f"substr(s, {_LK_D2} + 1))")
+
+
+_LK_HASHES = ("(p_partkey * 2654435761) % 2147483647 AS h",
+              "(p_partkey * 1103515245 + 12345) % 2147483647 AS h2")
+_LK_RESIDUES = ("(h * h + h) % 2147483647 AS g1",
+                "(h2 * h2 + h2) % 2147483647 AS g2")
+
+
+def _lk_pages(spark, sf_dir):
+    """pages(page_id, title): 3 deterministic variants per part entity."""
+    base = (load(spark, sf_dir, "part")
+            .select("p_partkey", *[F.expr(x) for x in _LK_HASHES]))
+    g = base.select("p_partkey", "h", *[F.expr(x) for x in _LK_RESIDUES])
+    sl = g.select("p_partkey", "h", F.expr(_LK_SLUG).alias("s"))
+    mk = lambda v, expr: sl.select(  # noqa: E731
+        (F.col("p_partkey") * 10 + v).alias("page_id"),
+        F.expr(expr).alias("title"))
+    return mk(0, "s").unionAll(mk(1, _LK_V1)).unionAll(mk(2, _LK_V2))
+
+
+def _q_linkage_f1(spark, sf_dir):
+    """North-rule metric under the driver oracle: run blocking + pairwise
+    OSA scoring over the labeled page fixture and emit one row of
+    (n_truth, n_pred, n_tp, precision, recall, f1).
+
+    Scale shape (same audit as the full pipeline, PLANS.md): delete keys
+    are a whole-stage-codegen projection, the self-join shuffles slim
+    (id:long, key, len:int) rows once with a shuffle_hash hint, scoring
+    exchanges only surviving (term_a, term_b) through one ArrowEvalPython,
+    and the truth join + metric agg shuffle (long, long) pairs.  At 10^12
+    pages the only addition is cap_hot_blocks (slugs here have no
+    super-node keys; the cap is exercised by candidate_pairs_prefix and
+    the dedup queries)."""
+    pages = _lk_pages(spark, sf_dir)
+    titles = pages.select(F.col("title").alias("term")).distinct()
+    blocks = build_blocks(titles)
+    pb = (pages.join(blocks, pages.title == blocks.term)
+          .select("page_id", "block_key", F.length("title").alias("tl")))
+    dim = pages.select(F.col("page_id").alias("id"),
+                       F.col("title").alias("term"))
+    pairs = candidate_pairs(pb, id_col="page_id", term_col="title",
+                            max_len_diff=2, dim=dim, len_col="tl")
+    pred = (score_pairs(pairs, max_distance=2)
+            .select("id_a", "id_b", F.lit(1).alias("ip")))
+    ent = pages.select(F.expr("page_id div 10").alias("e"), "page_id")
+    truth = (ent.alias("a")
+             .join(ent.alias("b"),
+                   (F.col("a.e") == F.col("b.e"))
+                   & (F.col("a.page_id") < F.col("b.page_id")))
+             .select(F.col("a.page_id").alias("id_a"),
+                     F.col("b.page_id").alias("id_b"),
+                     F.lit(1).alias("it")))
+    m = pred.join(truth, ["id_a", "id_b"], "full_outer")
+    agg = m.agg(
+        F.sum(F.coalesce(F.col("it"), F.lit(0))).alias("n_truth"),
+        F.sum(F.coalesce(F.col("ip"), F.lit(0))).alias("n_pred"),
+        F.sum(F.when(F.col("ip").isNotNull() & F.col("it").isNotNull(),
+                     1).otherwise(0)).alias("n_tp"))
+    return agg.select(
+        F.col("n_truth").cast("bigint").alias("n_truth"),
+        F.col("n_pred").cast("bigint").alias("n_pred"),
+        F.col("n_tp").cast("bigint").alias("n_tp"),
+        (F.col("n_tp") / F.col("n_pred")).alias("precision"),
+        (F.col("n_tp") / F.col("n_truth")).alias("recall"),
+        (F.lit(2) * F.col("n_tp") / (F.col("n_pred") + F.col("n_truth")))
+        .alias("f1"))
+
+
+_O_LINKAGE_F1 = f"""
+WITH RECURSIVE
+pk AS (SELECT p_partkey, {_LK_HASHES[0]}, {_LK_HASHES[1]} FROM part),
+g AS (SELECT p_partkey, h, {_LK_RESIDUES[0]}, {_LK_RESIDUES[1]} FROM pk),
+sl AS (SELECT p_partkey, h, {_LK_SLUG} AS s FROM g),
+pages AS (
+    SELECT p_partkey * 10 AS page_id, s AS title FROM sl
+    UNION ALL
+    SELECT p_partkey * 10 + 1, {_LK_V1} FROM sl
+    UNION ALL
+    SELECT p_partkey * 10 + 2, {_LK_V2} FROM sl),
+{_sql_blocks_over('SELECT DISTINCT title AS term FROM pages')},
+pb AS (SELECT p.page_id, b.block_key, length(p.title) AS tl, p.title
+       FROM pages p JOIN blocks b ON p.title = b.term),
+cand AS (SELECT DISTINCT a.page_id AS id_a, b.page_id AS id_b,
+                a.title AS ta, b.title AS tb
+         FROM pb a JOIN pb b
+           ON a.block_key = b.block_key AND a.page_id < b.page_id
+          AND abs(a.tl - b.tl) <= 2),
+pred AS (SELECT id_a, id_b FROM cand
+         WHERE damerau_levenshtein(ta, tb) <= 2),
+truth AS (SELECT a.page_id AS id_a, b.page_id AS id_b
+          FROM pages a JOIN pages b
+            ON a.page_id // 10 = b.page_id // 10
+           AND a.page_id < b.page_id),
+m AS (SELECT p.id_a AS pa, t.id_a AS ta
+      FROM pred p FULL OUTER JOIN truth t
+        ON p.id_a = t.id_a AND p.id_b = t.id_b)
+SELECT
+  CAST(sum(CASE WHEN ta IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_truth,
+  CAST(sum(CASE WHEN pa IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_pred,
+  CAST(sum(CASE WHEN pa IS NOT NULL AND ta IS NOT NULL
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_tp,
+  CAST(sum(CASE WHEN pa IS NOT NULL AND ta IS NOT NULL THEN 1 ELSE 0 END)
+       AS DOUBLE)
+      / sum(CASE WHEN pa IS NOT NULL THEN 1 ELSE 0 END) AS precision,
+  CAST(sum(CASE WHEN pa IS NOT NULL AND ta IS NOT NULL THEN 1 ELSE 0 END)
+       AS DOUBLE)
+      / sum(CASE WHEN ta IS NOT NULL THEN 1 ELSE 0 END) AS recall,
+  CAST(2 * sum(CASE WHEN pa IS NOT NULL AND ta IS NOT NULL
+               THEN 1 ELSE 0 END) AS DOUBLE)
+      / (sum(CASE WHEN pa IS NOT NULL THEN 1 ELSE 0 END)
+         + sum(CASE WHEN ta IS NOT NULL THEN 1 ELSE 0 END)) AS f1
+FROM m
+"""
+
+
 # oracle field: a literal SQL string, a callable (sf_dir) -> SQL for
 # oracles whose expected values are precomputed per scale factor
 # (compound_correct), or None for a rows-only contract entry
@@ -3700,6 +3873,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     "candidate_pairs": (_q_candidate_pairs, _O_CAND_PAIRS),
     "candidate_pairs_prefilter": (_q_candidate_pairs_prefilter,
                                   _O_CAND_PREFILTER),
+    "linkage_f1": (_q_linkage_f1, _O_LINKAGE_F1),
     "scored_pairs_osa": (_q_scored_pairs_osa, _O_SCORED_OSA),
     "scored_pairs_lev": (_q_scored_pairs_lev, _O_SCORED_LEV),
     "scored_pairs_similarity": (_q_scored_pairs_similarity,
