@@ -3755,50 +3755,68 @@ _LK_RESIDUES = ("(h * h + h) % 2147483647 AS g1",
 
 
 def _lk_pages(spark, sf_dir):
-    """pages(page_id, title): 3 deterministic variants per part entity."""
+    """pages(page_id, title): 3 deterministic variants per part entity.
+    ONE scan — the variants explode from an inline array rather than a
+    3-branch union (which would re-scan part per branch)."""
     base = (load(spark, sf_dir, "part")
             .select("p_partkey", *[F.expr(x) for x in _LK_HASHES]))
     g = base.select("p_partkey", "h", *[F.expr(x) for x in _LK_RESIDUES])
     sl = g.select("p_partkey", "h", F.expr(_LK_SLUG).alias("s"))
-    mk = lambda v, expr: sl.select(  # noqa: E731
-        (F.col("p_partkey") * 10 + v).alias("page_id"),
-        F.expr(expr).alias("title"))
-    return mk(0, "s").unionAll(mk(1, _LK_V1)).unionAll(mk(2, _LK_V2))
+    variants = F.explode(F.expr(
+        f"array(named_struct('v', 0L, 't', s), "
+        f"named_struct('v', 1L, 't', {_LK_V1}), "
+        f"named_struct('v', 2L, 't', {_LK_V2}))"))
+    return (sl.select("p_partkey", variants.alias("x"))
+            .select((F.col("p_partkey") * 10 + F.col("x.v"))
+                    .alias("page_id"),
+                    F.col("x.t").alias("title")))
 
 
-def _q_linkage_f1(spark, sf_dir):
-    """North-rule metric under the driver oracle: run blocking + pairwise
-    OSA scoring over the labeled page fixture and emit one row of
-    (n_truth, n_pred, n_tp, precision, recall, f1).
+def _lk_pred(spark, sf_dir):
+    """(pages, pred): predicted match pairs from the REAL blocking +
+    verification operators over the labeled fixture.
 
-    Scale shape (same audit as the full pipeline, PLANS.md): delete keys
-    are a whole-stage-codegen projection, the self-join shuffles slim
-    (id:long, key, len:int) rows once with a shuffle_hash hint, scoring
-    exchanges only surviving (term_a, term_b) through one ArrowEvalPython,
-    and the truth join + metric agg shuffle (long, long) pairs.  At 10^12
-    pages the only addition is cap_hot_blocks (slugs here have no
-    super-node keys; the cap is exercised by candidate_pairs_prefix and
-    the dedup queries)."""
+    Blocking uses the pipeline's hash-direct key generator
+    (functions/delete_hash_expr): block keys are 64-bit hashes emitted
+    without ever materializing variant strings, carried per page (titles
+    are page-unique, so a distinct-titles detour would add a shuffle and
+    a join back for nothing).  Result-invariant vs the oracle's string
+    keys: shares-hash ⊇ shares-string only through ~2^-64 collisions, and
+    any pair at OSA ≤ 2 within the prefix window shares a TRUE string key
+    (SymSpell completeness), so the verified pair set is identical —
+    the same argument the linkage pipeline documents, bijection
+    property-tested in tests/test_delete_hash_expr.py."""
+    from .functions.delete_hash_expr import delete_key_hash_explode
+
     pages = _lk_pages(spark, sf_dir)
-    titles = pages.select(F.col("title").alias("term")).distinct()
-    blocks = build_blocks(titles)
-    pb = (pages.join(blocks, pages.title == blocks.term)
-          .select("page_id", "block_key", F.length("title").alias("tl")))
+    pref = pages.select("page_id", F.length("title").alias("tl"),
+                        F.substring("title", 1, 7).alias("prefix"))
+    pb = delete_key_hash_explode(pref, "prefix",
+                                 keep_cols=["page_id", "tl"])
     dim = pages.select(F.col("page_id").alias("id"),
                        F.col("title").alias("term"))
-    pairs = candidate_pairs(pb, id_col="page_id", term_col="title",
+    pairs = candidate_pairs(pb, id_col="page_id", term_col="term",
                             max_len_diff=2, dim=dim, len_col="tl")
-    pred = (score_pairs(pairs, max_distance=2)
-            .select("id_a", "id_b", F.lit(1).alias("ip")))
-    ent = pages.select(F.expr("page_id div 10").alias("e"), "page_id")
-    truth = (ent.alias("a")
-             .join(ent.alias("b"),
-                   (F.col("a.e") == F.col("b.e"))
-                   & (F.col("a.page_id") < F.col("b.page_id")))
-             .select(F.col("a.page_id").alias("id_a"),
-                     F.col("b.page_id").alias("id_b"),
-                     F.lit(1).alias("it")))
-    m = pred.join(truth, ["id_a", "id_b"], "full_outer")
+    pred = score_pairs(pairs, max_distance=2).select("id_a", "id_b")
+    return pages, pred
+
+
+def _lk_metrics(pages, pred):
+    """(n_truth, n_pred, n_tp, precision, recall, f1) single row — truth is
+    the complete within-entity pair set; every float is one division of
+    exact integers (F1 in its algebraic 2·tp/(pp+tt) form)."""
+    # every entity has exactly pages {e·10, e·10+1, e·10+2}, so the
+    # complete truth pair set explodes from the canonical page directly —
+    # no self-join
+    truth = (pages.where(F.expr("page_id % 10 = 0"))
+             .select(F.explode(F.expr(
+                 "array(named_struct('id_a', page_id, 'id_b', page_id + 1),"
+                 " named_struct('id_a', page_id, 'id_b', page_id + 2),"
+                 " named_struct('id_a', page_id + 1, 'id_b', page_id + 2))"))
+                 .alias("p"))
+             .select("p.id_a", "p.id_b", F.lit(1).alias("it")))
+    m = (pred.withColumn("ip", F.lit(1))
+         .join(truth, ["id_a", "id_b"], "full_outer"))
     agg = m.agg(
         F.sum(F.coalesce(F.col("it"), F.lit(0))).alias("n_truth"),
         F.sum(F.coalesce(F.col("ip"), F.lit(0))).alias("n_pred"),
@@ -3814,8 +3832,50 @@ def _q_linkage_f1(spark, sf_dir):
         .alias("f1"))
 
 
-_O_LINKAGE_F1 = f"""
-WITH RECURSIVE
+def _q_linkage_f1(spark, sf_dir):
+    """North-rule metric under the driver oracle: run blocking + pairwise
+    OSA scoring over the labeled page fixture and emit one row of
+    (n_truth, n_pred, n_tp, precision, recall, f1).
+
+    Scale shape (same audit as the full pipeline, PLANS.md): delete keys
+    are a whole-stage-codegen projection, the self-join shuffles slim
+    (id:long, key, len:int) rows once with a shuffle_hash hint, scoring
+    exchanges only surviving (term_a, term_b) through one ArrowEvalPython,
+    and the truth join + metric agg shuffle (long, long) pairs.  At 10^12
+    pages the only addition is cap_hot_blocks (slugs here have no
+    super-node keys; the cap is exercised by candidate_pairs_prefix and
+    the dedup queries)."""
+    pages, pred = _lk_pred(spark, sf_dir)
+    return _lk_metrics(pages, pred)
+
+
+def _q_linkage_cluster_f1(spark, sf_dir):
+    """The north rule's FULL statement — "matching entity clusters
+    (pairwise F1) on labeled pairs" — evaluated after the transitive
+    clustering stage, not just on scored pairs: predicted pairs feed
+    large-star/small-star connected components, each cluster induces its
+    complete pair set, and the induced pairs are scored against truth.
+
+    Clustering can only merge (never split) blocking-stage predictions,
+    so recall stays 1.0 while any scored false positive transitively
+    glues two entities and amplifies into up to 3×3 induced false pairs —
+    exactly the precision amplification a production ER pipeline watches,
+    now pinned by the oracle's recursive-reachability replay."""
+    pages, pred = _lk_pred(spark, sf_dir)
+    cc = connected_components(pred.select("id_a", "id_b"),
+                              nodes=pages.select(
+                                  F.col("page_id").alias("doc_id")))
+    asg = cc.select("node", "component")
+    induced = (asg.alias("x")
+               .join(asg.alias("y"),
+                     (F.col("x.component") == F.col("y.component"))
+                     & (F.col("x.node") < F.col("y.node")))
+               .select(F.col("x.node").alias("id_a"),
+                       F.col("y.node").alias("id_b")))
+    return _lk_metrics(pages, induced)
+
+
+_LK_SQL_FIXTURE = f"""
 pk AS (SELECT p_partkey, {_LK_HASHES[0]}, {_LK_HASHES[1]} FROM part),
 g AS (SELECT p_partkey, h, {_LK_RESIDUES[0]}, {_LK_RESIDUES[1]} FROM pk),
 sl AS (SELECT p_partkey, h, {_LK_SLUG} AS s FROM g),
@@ -3834,13 +3894,18 @@ cand AS (SELECT DISTINCT a.page_id AS id_a, b.page_id AS id_b,
            ON a.block_key = b.block_key AND a.page_id < b.page_id
           AND abs(a.tl - b.tl) <= 2),
 pred AS (SELECT id_a, id_b FROM cand
-         WHERE damerau_levenshtein(ta, tb) <= 2),
+         WHERE damerau_levenshtein(ta, tb) <= 2)"""
+
+
+def _lk_sql_metrics(pred_cte: str) -> str:
+    """truth CTE + metric SELECT vs an arbitrary (id_a, id_b) pair CTE."""
+    return f""",
 truth AS (SELECT a.page_id AS id_a, b.page_id AS id_b
           FROM pages a JOIN pages b
             ON a.page_id // 10 = b.page_id // 10
            AND a.page_id < b.page_id),
 m AS (SELECT p.id_a AS pa, t.id_a AS ta
-      FROM pred p FULL OUTER JOIN truth t
+      FROM {pred_cte} p FULL OUTER JOIN truth t
         ON p.id_a = t.id_a AND p.id_b = t.id_b)
 SELECT
   CAST(sum(CASE WHEN ta IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_truth,
@@ -3861,6 +3926,135 @@ FROM m
 """
 
 
+_O_LINKAGE_F1 = ("WITH RECURSIVE" + _LK_SQL_FIXTURE
+                 + _lk_sql_metrics("pred"))
+
+# connected components replayed as recursive reachability; every page not
+# on a predicted edge is its own singleton, components are keyed by their
+# minimum page id (same canonicalization as operators/clustering.py), and
+# each component induces its complete pair set.
+_O_LINKAGE_CLUSTER_F1 = ("WITH RECURSIVE" + _LK_SQL_FIXTURE + f""",
+e AS (SELECT id_a AS a, id_b AS b FROM pred
+      UNION SELECT id_b, id_a FROM pred),
+reach(a, b) AS (SELECT a, b FROM e
+                UNION SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+comp AS (SELECT a AS node, least(a, min(b)) AS component
+         FROM reach GROUP BY a),
+asg AS (SELECT node, component FROM comp
+        UNION ALL
+        SELECT page_id, page_id FROM pages
+        WHERE page_id NOT IN (SELECT node FROM comp)),
+induced AS (SELECT x.node AS id_a, y.node AS id_b
+            FROM asg x JOIN asg y
+              ON x.component = y.component AND x.node < y.node)"""
+                         + _lk_sql_metrics("induced"))
+
+
+# ---------------------------------------------------------------------------
+# PII redaction: the scrubbing pass every web-text corpus runs before
+# training.  The fixture plants real-shaped PII deterministically (a
+# TPC-H-style NN-NNN-NNN-NNNN phone derived from c_custkey, an email
+# derived from c_name — the trimmed testdata customer table carries no
+# phone/comment columns), then redacts with anchored character-class
+# regexes.  The patterns deliberately avoid every Java-regex/RE2
+# divergence: no \s (Java's lacks \x0b), no \d/\w shorthand, no
+# backreferences, no lookaround — plain classes, counted quantifiers, and
+# alternation-free concatenation behave identically in both engines.
+# The fixture/ticket text below is SHARED SQL TEXT across both engines
+# (STRING is a VARCHAR alias in DuckDB; lpad/replace/lower agree).
+_PII_EMAIL = "[0-9A-Za-z._%+-]+@[0-9A-Za-z.-]+[.][A-Za-z][A-Za-z]+"
+_PII_PHONE = "[0-9][0-9]-[0-9][0-9][0-9]-[0-9][0-9][0-9]-[0-9][0-9][0-9][0-9]"
+_PII_PHONE_EXPR = (
+    "concat(CAST(c_custkey % 90 + 10 AS STRING), '-', "
+    "lpad(CAST((c_custkey * 7) % 1000 AS STRING), 3, '0'), '-', "
+    "lpad(CAST((c_custkey * 13) % 1000 AS STRING), 3, '0'), '-', "
+    "lpad(CAST((c_custkey * 31) % 10000 AS STRING), 4, '0'))")
+_PII_TEXT_EXPR = (
+    "concat(c_mktsegment, ' ticket from ', c_name, ' call ', "
+    f"{_PII_PHONE_EXPR}, ' or mail ', "
+    "lower(replace(c_name, '#', '')), '@example.com')")
+
+
+def _q_pii_scrub(spark, sf_dir):
+    """Redact emails + phone numbers from synthetic support-ticket text and
+    count what was removed (the audit trail a compliance pass needs).
+
+    Scale shape: one scan, zero shuffles — regexp_replace/regexp_count are
+    whole-stage-codegen JVM expressions evaluated map-side; the operator is
+    embarrassingly parallel at any corpus size."""
+    cust = load(spark, sf_dir, "customer")
+    t = cust.select("c_custkey", F.expr(_PII_TEXT_EXPR).alias("t"))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace("t", _PII_EMAIL, "<EMAIL>"),
+        _PII_PHONE, "<PHONE>")
+    return t.select(
+        "c_custkey", scrubbed.alias("scrubbed"),
+        F.regexp_count("t", F.lit(_PII_EMAIL)).cast("bigint")
+        .alias("n_emails"),
+        F.regexp_count("t", F.lit(_PII_PHONE)).cast("bigint")
+        .alias("n_phones"))
+
+
+_O_PII_SCRUB = f"""
+WITH t AS (SELECT c_custkey, {_PII_TEXT_EXPR} AS t FROM customer)
+SELECT c_custkey,
+       regexp_replace(regexp_replace(t, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                      '{_PII_PHONE}', '<PHONE>', 'g') AS scrubbed,
+       CAST(len(regexp_extract_all(t, '{_PII_EMAIL}')) AS BIGINT)
+           AS n_emails,
+       CAST(len(regexp_extract_all(t, '{_PII_PHONE}')) AS BIGINT)
+           AS n_phones
+FROM t
+"""
+
+
+def _q_html_extract(spark, sf_dir):
+    """The input-hint invariant under the oracle: byte-identical text
+    extraction per url (BASELINE.json input_hint).  Documents are wrapped
+    into html BINARY payloads in-plan, then the REAL extractor
+    (pipeline/webpages.extract_text_from_html — the fixed title +
+    newline + tag-stripped-body rule) runs as an Arrow-batched pandas UDF
+    over the binary column; the oracle reconstructs the expected text with
+    plain string ops, so any extractor drift breaks the value hash.
+
+    Scale shape: map-only — one scan, one vectorized Python stage, no
+    shuffle; binary payloads never leave the executor that built them."""
+    import pandas as pd
+
+    from .pipeline.webpages import extract_text_from_html
+
+    def _extract(b):
+        return b.map(lambda x: extract_text_from_html(bytes(x)))
+
+    # real type objects, not strings: the module-level
+    # `from __future__ import annotations` would stringify inline hints
+    # into names pandas_udf's inference cannot resolve here
+    _extract.__annotations__ = {"b": pd.Series, "return": pd.Series}
+    _extract = F.pandas_udf(_extract, "string")
+
+    docs = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    html_str = F.concat(
+        F.lit("<html><head><title>doc-"),
+        F.col("doc_id").cast("string"),
+        F.lit("</title></head><body><p>"), F.col("text"),
+        F.lit("</p></body></html>"))
+    wrapped = docs.select("doc_id",
+                          F.octet_length(html_str).alias("n_html_bytes"),
+                          F.encode(html_str, "utf-8").alias("html"))
+    return wrapped.select("doc_id", "n_html_bytes",
+                          _extract(F.col("html")).alias("extracted"))
+
+
+_O_HTML_EXTRACT = """
+SELECT doc_id,
+       CAST(strlen('<html><head><title>doc-' || CAST(doc_id AS VARCHAR)
+                   || '</title></head><body><p>' || text
+                   || '</p></body></html>') AS INTEGER) AS n_html_bytes,
+       'doc-' || CAST(doc_id AS VARCHAR) || chr(10) || text AS extracted
+FROM documents WHERE text IS NOT NULL
+"""
+
+
 # oracle field: a literal SQL string, a callable (sf_dir) -> SQL for
 # oracles whose expected values are precomputed per scale factor
 # (compound_correct), or None for a rows-only contract entry
@@ -3874,6 +4068,9 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     "candidate_pairs_prefilter": (_q_candidate_pairs_prefilter,
                                   _O_CAND_PREFILTER),
     "linkage_f1": (_q_linkage_f1, _O_LINKAGE_F1),
+    "linkage_cluster_f1": (_q_linkage_cluster_f1, _O_LINKAGE_CLUSTER_F1),
+    "pii_scrub": (_q_pii_scrub, _O_PII_SCRUB),
+    "html_extract": (_q_html_extract, _O_HTML_EXTRACT),
     "scored_pairs_osa": (_q_scored_pairs_osa, _O_SCORED_OSA),
     "scored_pairs_lev": (_q_scored_pairs_lev, _O_SCORED_LEV),
     "scored_pairs_similarity": (_q_scored_pairs_similarity,
