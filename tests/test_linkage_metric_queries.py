@@ -1,0 +1,89 @@
+"""Non-vacuousness guards for the linkage-metric and hygiene queries:
+the catalog parity test proves Spark == DuckDB; these pin that the
+agreed-on values actually witness the north-rule claims (F1 ≥ 0.99 with
+complete recall, clustering only amplifies precision loss, the PII pass
+redacts something real and leaves nothing behind).  Oracle side only —
+no Spark session, fast."""
+
+import duckdb
+import pytest
+
+from spellchecker_wasm_spark.queries import CATALOG, TABLES
+
+SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+
+
+def _con(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * "
+                f"FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_linkage_f1_meets_north_rule(sf_dir):
+    """Pair-stage F1 ≥ 0.99 (BASELINE.json metric) with COMPLETE recall:
+    SymSpell blocking is lossless for pairs within the edit window, so
+    any recall miss is a bug, and precision loss is bounded to hash-slug
+    near-collisions."""
+    con = _con(sf_dir)
+    row = con.sql(CATALOG["linkage_f1"][1]).fetchone()
+    n_truth, n_pred, n_tp, precision, recall, f1 = row
+    assert n_truth > 0 and n_truth == 3 * (n_truth // 3)
+    assert recall == 1.0
+    assert f1 >= 0.99
+    assert n_pred >= n_truth
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_cluster_f1_amplifies_only_precision(sf_dir):
+    """Connected components can merge but never split predicted pairs:
+    induced recall stays 1.0, induced precision ≤ pair precision, and
+    the induced pair count can only grow."""
+    con = _con(sf_dir)
+    p = con.sql(CATALOG["linkage_f1"][1]).fetchone()
+    c = con.sql(CATALOG["linkage_cluster_f1"][1]).fetchone()
+    assert c[0] == p[0]            # same truth set
+    assert c[4] == 1.0             # recall through clustering
+    assert c[1] >= p[1]            # induced pairs ⊇ scored pairs
+    assert c[3] <= p[3]            # precision can only fall
+    assert c[5] >= 0.96            # still near the rule at this fixture
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_pii_scrub_bites_and_is_complete(sf_dir):
+    """Every ticket had at least one email and one phone planted; after
+    scrubbing, neither pattern matches anything and the placeholders are
+    present exactly as often as the counters claim."""
+    from spellchecker_wasm_spark.queries import _PII_EMAIL, _PII_PHONE
+    con = _con(sf_dir)
+    sql = CATALOG["pii_scrub"][1]
+    lo_e, lo_p, resid_e, resid_p, bad_tokens = con.sql(f"""
+        SELECT min(n_emails), min(n_phones),
+               sum(len(regexp_extract_all(scrubbed, '{_PII_EMAIL}'))),
+               sum(len(regexp_extract_all(scrubbed, '{_PII_PHONE}'))),
+               sum(CASE WHEN len(regexp_extract_all(scrubbed, '<EMAIL>'))
+                             <> n_emails
+                         OR len(regexp_extract_all(scrubbed, '<PHONE>'))
+                             <> n_phones
+                        THEN 1 ELSE 0 END)
+        FROM ({sql})""").fetchone()
+    assert lo_e >= 1 and lo_p >= 1
+    assert resid_e == 0 and resid_p == 0
+    assert bad_tokens == 0
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_html_extract_shape(sf_dir):
+    """The expected extraction is title + newline + body — pinned here so
+    the oracle itself can't silently degenerate to echoing the input."""
+    con = _con(sf_dir)
+    sql = CATALOG["html_extract"][1]
+    n, ok_prefix, ok_nl = con.sql(f"""
+        SELECT count(*),
+               sum(CASE WHEN extracted LIKE 'doc-%' THEN 1 ELSE 0 END),
+               sum(CASE WHEN strpos(extracted, chr(10)) > 0
+                        THEN 1 ELSE 0 END)
+        FROM ({sql})""").fetchone()
+    assert n > 0 and ok_prefix == n and ok_nl == n
