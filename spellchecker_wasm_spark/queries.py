@@ -3875,7 +3875,9 @@ def _q_linkage_cluster_f1(spark, sf_dir):
     return _lk_metrics(pages, induced)
 
 
-_LK_SQL_FIXTURE = f"""
+# pages + blocks CTE chain (shared by the metric oracles and
+# blocking_stats)
+_LK_SQL_PAGES_BLOCKS = f"""
 pk AS (SELECT p_partkey, {_LK_HASHES[0]}, {_LK_HASHES[1]} FROM part),
 g AS (SELECT p_partkey, h, {_LK_RESIDUES[0]}, {_LK_RESIDUES[1]} FROM pk),
 sl AS (SELECT p_partkey, h, {_LK_SLUG} AS s FROM g),
@@ -3885,7 +3887,9 @@ pages AS (
     SELECT p_partkey * 10 + 1, {_LK_V1} FROM sl
     UNION ALL
     SELECT p_partkey * 10 + 2, {_LK_V2} FROM sl),
-{_sql_blocks_over('SELECT DISTINCT title AS term FROM pages')},
+{_sql_blocks_over('SELECT DISTINCT title AS term FROM pages')}"""
+
+_LK_SQL_FIXTURE = _LK_SQL_PAGES_BLOCKS + """,
 pb AS (SELECT p.page_id, b.block_key, length(p.title) AS tl, p.title
        FROM pages p JOIN blocks b ON p.title = b.term),
 cand AS (SELECT DISTINCT a.page_id AS id_a, b.page_id AS id_b,
@@ -4055,6 +4059,122 @@ FROM documents WHERE text IS NOT NULL
 """
 
 
+def _q_sink_orc_roundtrip(spark, sf_dir):
+    """Columnar-format breadth: write a lineitem projection as ORC (the
+    other columnar format big Spark estates actually run), read the
+    written dataset back, and return the q1-style integer-cents rollup.
+    DuckDB cannot read ORC — it doesn't need to: the oracle computes the
+    same rollup from the base parquet, so a green row proves the ORC
+    sink+source alters no value.
+
+    Scale shape: the write is a plain parallel sink (one file per task),
+    the read-back scans only the written dataset with pushed projection;
+    aggregation is map-side partial + one narrow shuffle."""
+    import tempfile
+
+    li = (load(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_returnflag", "l_quantity",
+                  "l_extendedprice"))
+    out = tempfile.mkdtemp(prefix="orc_sink_")
+    li.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    return (back.groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum("l_quantity").cast("long").alias("sum_qty"),
+                 F.sum(F.round(F.col("l_extendedprice") * 100)
+                       .cast("long")).alias("sum_base_cents")))
+
+
+_O_SINK_ORC_ROUNDTRIP = """
+SELECT l_returnflag, count(*) AS n_rows,
+       CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS sum_base_cents
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def _q_source_csv_roundtrip(spark, sf_dir):
+    """Text-format breadth: round-trip customers through CSV with an
+    EXPLICIT schema on both sides (schema-on-read without inference —
+    inference is a full extra pass at 10^12 rows).  Floats are converted
+    to integer cents BEFORE serialization: CSV is a decimal-text format,
+    so shipping doubles through it invites last-ulp drift — integer
+    cents round-trip exactly by construction.  The oracle recomputes the
+    rollup from the base parquet."""
+    import tempfile
+
+    cust = (load(spark, sf_dir, "customer")
+            .select("c_custkey", "c_mktsegment", "c_nationkey",
+                    F.round(F.col("c_acctbal") * 100).cast("long")
+                    .alias("acct_cents")))
+    out = tempfile.mkdtemp(prefix="csv_src_")
+    cust.write.mode("overwrite").option("header", True).csv(out)
+    back = spark.read.schema(
+        "c_custkey BIGINT, c_mktsegment STRING, c_nationkey BIGINT, "
+        "acct_cents BIGINT").option("header", True).csv(out)
+    return (back.groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n_custs"),
+                 F.sum("acct_cents").alias("acct_cents"),
+                 F.sum("c_nationkey").alias("nation_sum")))
+
+
+_O_SOURCE_CSV_ROUNDTRIP = """
+SELECT c_mktsegment, count(*) AS n_custs,
+       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+           AS acct_cents,
+       CAST(sum(c_nationkey) AS BIGINT) AS nation_sum
+FROM customer GROUP BY c_mktsegment
+"""
+
+
+def _q_blocking_stats(spark, sf_dir):
+    """Blocking-quality observability — the diagnostics an ER pipeline
+    publishes per run: key volume, block cardinality, the hottest block,
+    the pre-dedup pair-emit volume Σ s·(s−1)/2, and the emit fraction of
+    the naive N² pair space (the blocking 'reduction ratio' complement).
+    One row; the fraction is a single division of exact BIGINTs.
+
+    Scale shape: one key explode (string path — the stats ARE about the
+    keys) + one combine-reduced groupBy(block_key) + a scalar aggregate;
+    nothing quadratic is materialized — the pair volume is computed from
+    posting sizes, not by emitting pairs."""
+    pages = _lk_pages(spark, sf_dir)
+    blocks = build_blocks(pages, term_col="title", carry_cols=("page_id",))
+    per_key = blocks.groupBy("block_key").agg(
+        F.count(F.lit(1)).alias("s"))
+    stats = per_key.agg(
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.sum("s").cast("bigint").alias("n_key_rows"),
+        F.max("s").cast("bigint").alias("max_block"),
+        F.sum(F.expr("s * (s - 1) div 2")).cast("bigint")
+        .alias("n_pair_emits"))
+    np_ = pages.agg(F.count(F.lit(1)).alias("n_pages"))
+    return (np_.crossJoin(stats)
+            .select("n_pages", "n_blocks", "n_key_rows", "max_block",
+                    "n_pair_emits",
+                    (F.col("n_pair_emits")
+                     / F.expr("n_pages * (n_pages - 1) div 2"))
+                    .alias("pair_emit_fraction")))
+
+
+_O_BLOCKING_STATS = ("WITH RECURSIVE" + _LK_SQL_PAGES_BLOCKS + """,
+pb AS (SELECT p.page_id, b.block_key
+       FROM pages p JOIN blocks b ON p.title = b.term),
+per_key AS (SELECT block_key, count(*) AS s FROM pb GROUP BY block_key),
+stats AS (SELECT count(*) AS n_blocks,
+                 CAST(sum(s) AS BIGINT) AS n_key_rows,
+                 CAST(max(s) AS BIGINT) AS max_block,
+                 CAST(sum(s * (s - 1) // 2) AS BIGINT) AS n_pair_emits
+          FROM per_key),
+np AS (SELECT count(*) AS n_pages FROM pages)
+SELECT n_pages, n_blocks, n_key_rows, max_block, n_pair_emits,
+       CAST(n_pair_emits AS DOUBLE) / (n_pages * (n_pages - 1) // 2)
+           AS pair_emit_fraction
+FROM np, stats
+""")
+
+
 # oracle field: a literal SQL string, a callable (sf_dir) -> SQL for
 # oracles whose expected values are precomputed per scale factor
 # (compound_correct), or None for a rows-only contract entry
@@ -4071,6 +4191,10 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     "linkage_cluster_f1": (_q_linkage_cluster_f1, _O_LINKAGE_CLUSTER_F1),
     "pii_scrub": (_q_pii_scrub, _O_PII_SCRUB),
     "html_extract": (_q_html_extract, _O_HTML_EXTRACT),
+    "blocking_stats": (_q_blocking_stats, _O_BLOCKING_STATS),
+    "sink_orc_roundtrip": (_q_sink_orc_roundtrip, _O_SINK_ORC_ROUNDTRIP),
+    "source_csv_roundtrip": (_q_source_csv_roundtrip,
+                             _O_SOURCE_CSV_ROUNDTRIP),
     "scored_pairs_osa": (_q_scored_pairs_osa, _O_SCORED_OSA),
     "scored_pairs_lev": (_q_scored_pairs_lev, _O_SCORED_LEV),
     "scored_pairs_similarity": (_q_scored_pairs_similarity,
