@@ -4175,6 +4175,61 @@ FROM np, stats
 """)
 
 
+def _q_checkpoint_resume(spark, sf_dir):
+    """The north rule's "resumable from checkpoint" clause under the
+    driver oracle: a two-stage pipeline (tokenize → per-lang rollup) runs
+    TWICE through pipeline/lineage.StageWriter with the same run_id.
+    Pass 1 writes both stage checkpoints; pass 2 must RESUME both from
+    disk (StageWriter reads a completed stage back instead of
+    recomputing).  The resume-event count from the lineage metrics log
+    rides every output row, so the oracle's literal 2 turns red if the
+    second pass recomputes anything, and the rolled-up values turn red
+    if the checkpoint round-trip altered any row.
+
+    Scale shape: exactly the lineage layer's production shape — each
+    stage is one parquet write (row counts observed ON the write action,
+    no second scan) and resume is a metadata check + read; at 10^12 docs
+    the same contract swaps to Iceberg writeTo with no code change
+    (lineage.py docstring)."""
+    import tempfile
+
+    from .pipeline.lineage import StageWriter
+
+    base = tempfile.mkdtemp(prefix="ckpt_resume_")
+
+    def run_pass():
+        w = StageWriter(spark, base, "r1", collect_partition_lineage=False)
+        docs = (load(spark, sf_dir, "documents")
+                .where(F.col("text").isNotNull()))
+        toks = docs.select(
+            "doc_id", "lang",
+            F.size(F.expr("filter(split(text, ' '), x -> x <> '')"))
+            .alias("n"))
+        s1 = w.materialize("tokens", toks)
+        agg = (s1.groupBy("lang")
+               .agg(F.count(F.lit(1)).alias("n_docs"),
+                    F.sum("n").cast("bigint").alias("n_tokens")))
+        s2 = w.materialize("lang_rollup", agg)
+        return w, s2
+
+    run_pass()                      # pass 1: writes both checkpoints
+    w2, out = run_pass()            # pass 2: must resume both
+    n_resumed = sum(1 for m in w2.metrics() if m["event"] == "resume")
+    return out.withColumn("n_resumed_stages",
+                          F.lit(n_resumed).cast("bigint"))
+
+
+_O_CHECKPOINT_RESUME = """
+WITH t AS (SELECT lang,
+                  len(list_filter(string_split(text, ' '), x -> x <> ''))
+                      AS n
+           FROM documents WHERE text IS NOT NULL)
+SELECT lang, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens,
+       CAST(2 AS BIGINT) AS n_resumed_stages
+FROM t GROUP BY lang
+"""
+
+
 # oracle field: a literal SQL string, a callable (sf_dir) -> SQL for
 # oracles whose expected values are precomputed per scale factor
 # (compound_correct), or None for a rows-only contract entry
@@ -4193,6 +4248,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     "html_extract": (_q_html_extract, _O_HTML_EXTRACT),
     "blocking_stats": (_q_blocking_stats, _O_BLOCKING_STATS),
     "sink_orc_roundtrip": (_q_sink_orc_roundtrip, _O_SINK_ORC_ROUNDTRIP),
+    "checkpoint_resume": (_q_checkpoint_resume, _O_CHECKPOINT_RESUME),
     "source_csv_roundtrip": (_q_source_csv_roundtrip,
                              _O_SOURCE_CSV_ROUNDTRIP),
     "scored_pairs_osa": (_q_scored_pairs_osa, _O_SCORED_OSA),
