@@ -34,6 +34,25 @@ def osa_distance_udf(max_distance: int):
     return _osa.asNondeterministic()
 
 
+def jaro_winkler_udf():
+    """Column function: Jaro-Winkler similarity (float64), bit-identical
+    to DuckDB's ``jaro_winkler_similarity`` on ASCII inputs (the kernel is
+    codepoint-based; DuckDB's builtin walks UTF-8 bytes, so non-ASCII
+    diverges — kernels/jaro.py docstring, pinned in
+    tests/test_kernel_jaro.py).  One vectorized numpy batch per Arrow
+    chunk; no per-row Python."""
+    from ..kernels.jaro import jaro_winkler_batch
+
+    @pandas_udf(T.DoubleType())
+    def _jw(s1: pd.Series, s2: pd.Series) -> pd.Series:
+        return pd.Series(jaro_winkler_batch(s1.tolist(), s2.tolist()),
+                         index=s1.index)
+
+    # same Catalyst-duplication guard as osa_distance_udf: the projection
+    # and the threshold filter must share ONE Python exchange
+    return _jw.asNondeterministic()
+
+
 def generate_deletes_udf(max_edit_distance: int = 2, prefix_length: int = 7):
     """Column function: dictionary-side blocking keys (create_deletes,
     sym_spell.rs:243-261) as array<string> — explode downstream."""

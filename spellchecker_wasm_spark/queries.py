@@ -3772,9 +3772,10 @@ def _lk_pages(spark, sf_dir):
                     F.col("x.t").alias("title")))
 
 
-def _lk_pred(spark, sf_dir):
-    """(pages, pred): predicted match pairs from the REAL blocking +
-    verification operators over the labeled fixture.
+def _lk_scored(spark, sf_dir):
+    """(pages, scored): scored candidate pairs (id_a, id_b, term_a,
+    term_b, distance) from the REAL blocking + verification operators
+    over the labeled fixture.
 
     Blocking uses the pipeline's hash-direct key generator
     (functions/delete_hash_expr): block keys are 64-bit hashes emitted
@@ -3797,25 +3798,35 @@ def _lk_pred(spark, sf_dir):
                        F.col("title").alias("term"))
     pairs = candidate_pairs(pb, id_col="page_id", term_col="term",
                             max_len_diff=2, dim=dim, len_col="tl")
-    pred = score_pairs(pairs, max_distance=2).select("id_a", "id_b")
-    return pages, pred
+    scored = score_pairs(pairs, max_distance=2)
+    return pages, scored
+
+
+def _lk_pred(spark, sf_dir):
+    """(pages, pred): predicted (id_a, id_b, distance) via _lk_scored."""
+    pages, scored = _lk_scored(spark, sf_dir)
+    return pages, scored.select("id_a", "id_b", "distance")
+
+
+def _lk_truth(pages):
+    """Complete within-entity truth pair set (id_a, id_b, it=1): every
+    entity has exactly pages {e·10, e·10+1, e·10+2}, so the pairs explode
+    from the canonical page directly — no self-join."""
+    return (pages.where(F.expr("page_id % 10 = 0"))
+            .select(F.explode(F.expr(
+                "array(named_struct('id_a', page_id, 'id_b', page_id + 1),"
+                " named_struct('id_a', page_id, 'id_b', page_id + 2),"
+                " named_struct('id_a', page_id + 1, 'id_b', page_id + 2))"))
+                .alias("p"))
+            .select("p.id_a", "p.id_b", F.lit(1).alias("it")))
 
 
 def _lk_metrics(pages, pred):
     """(n_truth, n_pred, n_tp, precision, recall, f1) single row — truth is
     the complete within-entity pair set; every float is one division of
     exact integers (F1 in its algebraic 2·tp/(pp+tt) form)."""
-    # every entity has exactly pages {e·10, e·10+1, e·10+2}, so the
-    # complete truth pair set explodes from the canonical page directly —
-    # no self-join
-    truth = (pages.where(F.expr("page_id % 10 = 0"))
-             .select(F.explode(F.expr(
-                 "array(named_struct('id_a', page_id, 'id_b', page_id + 1),"
-                 " named_struct('id_a', page_id, 'id_b', page_id + 2),"
-                 " named_struct('id_a', page_id + 1, 'id_b', page_id + 2))"))
-                 .alias("p"))
-             .select("p.id_a", "p.id_b", F.lit(1).alias("it")))
-    m = (pred.withColumn("ip", F.lit(1))
+    truth = _lk_truth(pages)
+    m = (pred.select("id_a", "id_b").withColumn("ip", F.lit(1))
          .join(truth, ["id_a", "id_b"], "full_outer"))
     agg = m.agg(
         F.sum(F.coalesce(F.col("it"), F.lit(0))).alias("n_truth"),
@@ -3933,11 +3944,11 @@ FROM m
 _O_LINKAGE_F1 = ("WITH RECURSIVE" + _LK_SQL_FIXTURE
                  + _lk_sql_metrics("pred"))
 
-# connected components replayed as recursive reachability; every page not
-# on a predicted edge is its own singleton, components are keyed by their
-# minimum page id (same canonicalization as operators/clustering.py), and
-# each component induces its complete pair set.
-_O_LINKAGE_CLUSTER_F1 = ("WITH RECURSIVE" + _LK_SQL_FIXTURE + f""",
+# connected components over pred replayed as recursive reachability with
+# min-id canonicalization + singleton completion — shared by the
+# cluster-stage metric, golden-record, cluster-stats, and incremental-
+# linkage oracles
+_LK_SQL_CC = """,
 e AS (SELECT id_a AS a, id_b AS b FROM pred
       UNION SELECT id_b, id_a FROM pred),
 reach(a, b) AS (SELECT a, b FROM e
@@ -3947,7 +3958,10 @@ comp AS (SELECT a AS node, least(a, min(b)) AS component
 asg AS (SELECT node, component FROM comp
         UNION ALL
         SELECT page_id, page_id FROM pages
-        WHERE page_id NOT IN (SELECT node FROM comp)),
+        WHERE page_id NOT IN (SELECT node FROM comp))"""
+
+_O_LINKAGE_CLUSTER_F1 = ("WITH RECURSIVE" + _LK_SQL_FIXTURE + _LK_SQL_CC
+                         + """,
 induced AS (SELECT x.node AS id_a, y.node AS id_b
             FROM asg x JOIN asg y
               ON x.component = y.component AND x.node < y.node)"""
@@ -4230,6 +4244,374 @@ FROM t GROUP BY lang
 """
 
 
+# ---------------------------------------------------------------------------
+# Round-3 continuation: the remaining production-ER stages as first-class
+# oracle rows — survivorship (golden record), cluster observability,
+# incremental linkage against existing clusters, threshold tuning, and
+# multi-feature pair scoring (the feature-generation stage a learned
+# matcher consumes).  All run the REAL pipeline operators over the labeled
+# linkage fixture; the oracles replay blocking with the recursive delete
+# CTE and clustering with recursive reachability.
+
+
+def _lk_cc_asg(spark, sf_dir):
+    """(pages, asg): cluster assignments (page_id, component) for every
+    fixture page — the shared head of the post-clustering ER stages."""
+    pages, pred = _lk_pred(spark, sf_dir)
+    cc = connected_components(pred.select("id_a", "id_b"),
+                              nodes=pages.select(
+                                  F.col("page_id").alias("doc_id")))
+    return pages, cc.select(F.col("node").alias("page_id"), "component")
+
+
+def _q_golden_record(spark, sf_dir):
+    """Survivorship: one canonical record per entity cluster, by
+    deterministic rules — the merge stage that follows matching in every
+    production ER pipeline (the reference stops at per-term suggestion
+    ranking, sym_spell.rs:352-366; survivorship is its record-level
+    analogue).  Rules exercised: first-arrival (min page_id) and
+    shortest-then-lexicographic title — both encoded as min_by keys so
+    the groupBy stays a single combine-reduced aggregation.
+
+    Scale shape: clustering aside (audited in PLANS.md), this is ONE
+    hash aggregation over (component) with map-side partial min_by — no
+    window, no second shuffle, no skew beyond the largest cluster (which
+    the blocking cap already bounds upstream)."""
+    pages, asg = _lk_cc_asg(spark, sf_dir)
+    j = asg.join(pages, "page_id")
+    short_key = F.concat(F.lpad(F.length("title").cast("string"), 2, "0"),
+                         F.col("title"))
+    return (j.groupBy(F.col("component").cast("bigint").alias("component"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cluster_size"),
+                 F.min_by("title", "page_id").alias("first_title"),
+                 F.min_by("title", short_key).alias("shortest_title"),
+                 F.min("page_id").cast("bigint").alias("first_page_id")))
+
+
+_O_GOLDEN_RECORD = ("WITH RECURSIVE" + _LK_SQL_FIXTURE + _LK_SQL_CC + """
+SELECT CAST(x.component AS BIGINT) AS component,
+       CAST(count(*) AS BIGINT) AS cluster_size,
+       arg_min(p.title, p.page_id) AS first_title,
+       arg_min(p.title, concat(lpad(CAST(length(p.title) AS VARCHAR), 2,
+                                    '0'), p.title)) AS shortest_title,
+       CAST(min(p.page_id) AS BIGINT) AS first_page_id
+FROM asg x JOIN pages p ON x.node = p.page_id
+GROUP BY x.component
+""")
+
+
+def _q_cluster_stats(spark, sf_dir):
+    """Post-clustering observability: the cluster-size histogram
+    (size → how many clusters) a production ER run publishes next to
+    blocking_stats — a size-3 spike is healthy here; mass above it means
+    transitive over-merging, mass below means blocking recall loss.
+    Two combine-reduced aggregations, each output orders of magnitude
+    smaller than its input — nothing else shuffles."""
+    _, asg = _lk_cc_asg(spark, sf_dir)
+    sizes = (asg.groupBy("component")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("cluster_size")))
+    return (sizes.groupBy("cluster_size")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_clusters")))
+
+
+_O_CLUSTER_STATS = ("WITH RECURSIVE" + _LK_SQL_FIXTURE + _LK_SQL_CC + """,
+sizes AS (SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+          FROM asg GROUP BY component)
+SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+FROM sizes GROUP BY cluster_size
+""")
+
+
+# the incremental batch: a FOURTH variant per entity (a deletion at a
+# position provably distinct from v1's: d3 = d1 % 8 + 1 ≠ d1), page_id
+# p_partkey*10 + 3 — arrives AFTER the corpus was clustered
+_LK_D3 = f"(({_LK_D1}) % 8 + 1)"
+_LK_V3 = (f"concat(substr(s, 1, {_LK_D3} - 1), "
+          f"substr(s, {_LK_D3} + 1))")
+
+
+def _lk_new_pages(spark, sf_dir):
+    base = (load(spark, sf_dir, "part")
+            .select("p_partkey", *[F.expr(x) for x in _LK_HASHES]))
+    g = base.select("p_partkey", "h", *[F.expr(x) for x in _LK_RESIDUES])
+    sl = g.select("p_partkey", "h", F.expr(_LK_SLUG).alias("s"))
+    return sl.select((F.col("p_partkey") * 10 + 3).alias("page_id"),
+                     F.expr(_LK_V3).alias("title"))
+
+
+# best-match order key: distance then component — packed into ONE BIGINT
+# so min() is the arg-min on both engines (components are page ids,
+# < 10^11 at every catalog SF; asserted nowhere because the fixture
+# construction bounds them by 10 * |part| + 3)
+_LK_BEST_SCALE = 100_000_000_000
+
+
+def _q_incremental_linkage(spark, sf_dir):
+    """Incremental ER: link a NEW batch of pages against the EXISTING
+    entity clusters without reclustering the corpus — the steady-state
+    operation of a production linkage system (full reclustering at 10^12
+    docs is a batch job; arrivals are matched against the standing
+    cluster index).  New pages emit query-side delete keys (the same
+    pure-Catalyst hash generator as the corpus side), probe the existing
+    pages' key space, survive OSA ≤ 2 verification, and each new page is
+    assigned the component of its best match (min distance, then min
+    component id) — or becomes its own singleton when nothing matches.
+
+    Scale shape: the standing side's keys are the blocks table the
+    pipeline already checkpoints (pipeline/lineage.py); the new batch is
+    small relative to the corpus, so the key join is the broadcast-probe
+    shape (AQE picks it from sizes at catalog SF; on a cluster the new
+    batch side is explicitly broadcast) and NOTHING reshuffles the
+    corpus.  The verified-pair parity argument vs the oracle's string
+    keys is linkage_f1's: hash ⊇ string only through ~2^-64 collisions,
+    and verification closes the gap."""
+    from .functions.delete_hash_expr import delete_key_hash_explode
+
+    pages, asg = _lk_cc_asg(spark, sf_dir)
+    asg = asg.select(F.col("page_id").alias("ex_id"), "component")
+    new = _lk_new_pages(spark, sf_dir)
+    nb = delete_key_hash_explode(
+        new.select(F.col("page_id").alias("new_id"),
+                   F.length("title").alias("nl"),
+                   F.substring("title", 1, 7).alias("prefix")),
+        "prefix", keep_cols=["new_id", "nl"])
+    eb = delete_key_hash_explode(
+        pages.select(F.col("page_id").alias("ex_id"),
+                     F.length("title").alias("el"),
+                     F.substring("title", 1, 7).alias("prefix")),
+        "prefix", keep_cols=["ex_id", "el"])
+    cand = (nb.join(eb, "block_key")
+            .where(F.abs(F.col("nl") - F.col("el")) <= 2)
+            .select("new_id", "ex_id").distinct())
+    ndim = new.select(F.col("page_id").alias("new_id"),
+                      F.col("title").alias("term_a"))
+    edim = pages.select(F.col("page_id").alias("ex_id"),
+                        F.col("title").alias("term_b"))
+    scored = score_pairs(cand.join(ndim, "new_id").join(edim, "ex_id"),
+                         max_distance=2)
+    key = (F.col("distance").cast("bigint") * F.lit(_LK_BEST_SCALE)
+           + F.col("component").cast("bigint"))
+    best = (scored.join(asg, "ex_id")
+            .groupBy("new_id").agg(F.min(key).alias("best_key")))
+    out = (new.select(F.col("page_id").alias("new_id"))
+           .join(best, "new_id", "left"))
+    comp = F.coalesce(F.col("best_key") % F.lit(_LK_BEST_SCALE),
+                      F.col("new_id").cast("bigint"))
+    return out.select(
+        F.col("new_id").cast("bigint").alias("new_page_id"),
+        F.col("best_key").isNotNull().cast("bigint").alias("matched"),
+        comp.alias("component"),
+        (comp == F.col("new_id").cast("bigint") - 3).cast("bigint")
+        .alias("correct"))
+
+
+_O_INCREMENTAL_LINKAGE = ("WITH RECURSIVE" + _LK_SQL_FIXTURE + _LK_SQL_CC
+                          + f""",
+newpages AS (SELECT p_partkey * 10 + 3 AS page_id, {_LK_V3} AS title
+             FROM sl),
+seedn AS (SELECT DISTINCT title AS term,
+                 CASE WHEN length(title) > 7 THEN substr(title, 1, 7)
+                      ELSE title END AS k
+          FROM newpages),
+dn(term, k, depth) AS (
+    SELECT term, k, 0 FROM seedn
+    UNION
+    SELECT dn.term,
+           concat(substr(dn.k, 1, pos.i - 1), substr(dn.k, pos.i + 1)),
+           dn.depth + 1
+    FROM dn, pos
+    WHERE dn.depth < 2 AND strlen(dn.k) > 1 AND pos.i <= length(dn.k)),
+blocksn AS (SELECT DISTINCT term, k AS block_key FROM dn
+            UNION
+            SELECT DISTINCT title, '' FROM newpages
+            WHERE length(title) <= 2),
+pbn AS (SELECT n.page_id, b.block_key, length(n.title) AS nl, n.title
+        FROM newpages n JOIN blocksn b ON n.title = b.term),
+candn AS (SELECT DISTINCT n.page_id AS new_id, e.page_id AS ex_id,
+                 n.title AS tn, e.title AS te
+          FROM pbn n JOIN pb e ON n.block_key = e.block_key
+           AND abs(n.nl - e.tl) <= 2),
+scn AS (SELECT c.new_id, c.ex_id, damerau_levenshtein(c.tn, c.te) AS d
+        FROM candn c WHERE damerau_levenshtein(c.tn, c.te) <= 2),
+bestn AS (SELECT s.new_id,
+                 min(s.d * {_LK_BEST_SCALE} + a.component) AS best_key
+          FROM scn s JOIN asg a ON s.ex_id = a.node
+          GROUP BY s.new_id)
+SELECT CAST(n.page_id AS BIGINT) AS new_page_id,
+       CAST(CASE WHEN b.best_key IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+           AS matched,
+       CAST(coalesce(b.best_key % {_LK_BEST_SCALE}, n.page_id) AS BIGINT)
+           AS component,
+       CAST(CASE WHEN coalesce(b.best_key % {_LK_BEST_SCALE}, n.page_id)
+                      = n.page_id - 3 THEN 1 ELSE 0 END AS BIGINT)
+           AS correct
+FROM newpages n LEFT JOIN bestn b ON n.page_id = b.new_id
+""")
+
+
+def _q_er_threshold_sweep(spark, sf_dir):
+    """Threshold tuning in ONE pass: precision/recall/F1 at every
+    distance threshold (0, 1, 2) from a single scoring run — the sweep a
+    production ER pipeline runs to pick its operating point, computed
+    without re-scoring per threshold.  Pairs aggregate by exact distance
+    first (3 groups), so the per-threshold rollup handles 3 rows however
+    large the corpus; every float is one division of exact integers.
+
+    Scale shape: one truth left-join on (long, long), one combine-reduced
+    groupBy(distance) whose output is O(max_distance), then
+    driver-trivial arithmetic — strictly cheaper than linkage_f1."""
+    pages, pred = _lk_pred(spark, sf_dir)
+    truth = _lk_truth(pages)
+    by_d = (pred.join(truth, ["id_a", "id_b"], "left")
+            .groupBy("distance")
+            .agg(F.count(F.lit(1)).alias("np_d"),
+                 F.sum(F.coalesce("it", F.lit(0))).alias("tp_d")))
+    th = spark.range(0, 3).select(F.col("id").cast("int").alias("threshold"))
+    cum = (th.join(by_d, by_d.distance <= F.col("threshold"), "left")
+           .groupBy("threshold")
+           .agg(F.coalesce(F.sum("np_d"), F.lit(0)).cast("bigint")
+                .alias("n_pred"),
+                F.coalesce(F.sum("tp_d"), F.lit(0)).cast("bigint")
+                .alias("n_tp")))
+    tot = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
+    out = cum.crossJoin(F.broadcast(tot))
+    return out.select(
+        "threshold", "n_pred", "n_tp", "n_truth",
+        F.when(F.col("n_pred") > 0,
+               F.col("n_tp") / F.col("n_pred")).alias("precision"),
+        (F.col("n_tp") / F.col("n_truth")).alias("recall"),
+        F.when(F.col("n_pred") + F.col("n_truth") > 0,
+               F.lit(2) * F.col("n_tp")
+               / (F.col("n_pred") + F.col("n_truth"))).alias("f1"))
+
+
+_O_ER_THRESHOLD_SWEEP = ("WITH RECURSIVE" + _LK_SQL_FIXTURE + """,
+truth AS (SELECT a.page_id AS id_a, b.page_id AS id_b
+          FROM pages a JOIN pages b
+            ON a.page_id // 10 = b.page_id // 10
+           AND a.page_id < b.page_id),
+predd AS (SELECT c.id_a, c.id_b, damerau_levenshtein(c.ta, c.tb) AS d
+          FROM cand c WHERE damerau_levenshtein(c.ta, c.tb) <= 2),
+sc AS (SELECT p.id_a, p.d,
+              CASE WHEN t.id_a IS NOT NULL THEN 1 ELSE 0 END AS it
+       FROM predd p LEFT JOIN truth t
+         ON p.id_a = t.id_a AND p.id_b = t.id_b),
+th AS (SELECT CAST(unnest(range(0, 3)) AS INTEGER) AS threshold),
+cum AS (SELECT th.threshold,
+               CAST(coalesce(sum(CASE WHEN sc.d IS NOT NULL
+                                      THEN 1 END), 0) AS BIGINT) AS n_pred,
+               CAST(coalesce(sum(sc.it), 0) AS BIGINT) AS n_tp
+        FROM th LEFT JOIN sc ON sc.d <= th.threshold
+        GROUP BY th.threshold),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth)
+SELECT threshold, n_pred, n_tp, n_truth,
+       CASE WHEN n_pred > 0
+            THEN CAST(n_tp AS DOUBLE) / n_pred END AS precision,
+       CAST(n_tp AS DOUBLE) / n_truth AS recall,
+       CASE WHEN n_pred + n_truth > 0
+            THEN CAST(2 * n_tp AS DOUBLE) / (n_pred + n_truth) END AS f1
+FROM cum, tot
+""")
+
+
+def _q_pair_features(spark, sf_dir):
+    """Multi-feature pair scoring: the feature-generation stage a learned
+    matcher consumes — per verified candidate pair, the classic ER
+    feature vector (edit distance, length difference, common-prefix
+    length, character-bigram Jaccard) computed entirely in Catalyst
+    expressions on the already-attached title payloads.  All features are
+    exact integers; the Jaccard is one division of exact integers.
+
+    Scale shape: identical plan to scored_pairs_osa plus a zero-shuffle
+    projection — the bigram arrays live only inside one whole-stage
+    codegen project and never cross an exchange."""
+    _, scored = _lk_scored(spark, sf_dir)
+
+    def bigrams(c):
+        arr = F.expr(f"array_distinct(transform(sequence(1, length({c}) "
+                     f"- 1), i -> substr({c}, i, 2)))")
+        return F.when(F.length(c) >= 2, arr).otherwise(
+            F.array().cast("array<string>"))
+
+    ba, bb = bigrams("term_a"), bigrams("term_b")
+    inter = F.size(F.array_intersect(ba, bb))
+    uni = F.size(F.array_union(ba, bb))
+    prefix = F.when(
+        F.least(F.length("term_a"), F.length("term_b")) > 0,
+        F.expr("size(filter(sequence(1, least(length(term_a), "
+               "length(term_b))), i -> substr(term_a, 1, i) "
+               "= substr(term_b, 1, i)))")).otherwise(F.lit(0))
+    return scored.select(
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"),
+        F.col("distance").cast("int").alias("osa"),
+        F.abs(F.length("term_a") - F.length("term_b")).cast("int")
+        .alias("len_diff"),
+        prefix.cast("int").alias("prefix_len"),
+        inter.cast("int").alias("bigram_inter"),
+        uni.cast("int").alias("bigram_union"),
+        F.when(uni > 0, inter.cast("double") / uni).alias("bigram_jaccard"))
+
+
+_O_PAIR_FEATURES = ("WITH RECURSIVE" + _LK_SQL_FIXTURE + """,
+feat AS (SELECT id_a, id_b, ta, tb, damerau_levenshtein(ta, tb) AS osa
+         FROM cand WHERE damerau_levenshtein(ta, tb) <= 2),
+bg AS (SELECT id_a, id_b, osa, ta, tb,
+              list_distinct(list_transform(range(1, length(ta)),
+                  i -> substr(ta, CAST(i AS INTEGER), 2))) AS ba,
+              list_distinct(list_transform(range(1, length(tb)),
+                  i -> substr(tb, CAST(i AS INTEGER), 2))) AS bb
+       FROM feat)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       CAST(osa AS INTEGER) AS osa,
+       CAST(abs(length(ta) - length(tb)) AS INTEGER) AS len_diff,
+       CAST(len(list_filter(range(1, least(length(ta), length(tb)) + 1),
+                i -> substr(ta, 1, CAST(i AS INTEGER))
+                     = substr(tb, 1, CAST(i AS INTEGER)))) AS INTEGER)
+           AS prefix_len,
+       CAST(len(list_intersect(ba, bb)) AS INTEGER) AS bigram_inter,
+       CAST(len(list_distinct(list_concat(ba, bb))) AS INTEGER)
+           AS bigram_union,
+       CASE WHEN len(list_distinct(list_concat(ba, bb))) > 0
+            THEN CAST(len(list_intersect(ba, bb)) AS DOUBLE)
+                 / len(list_distinct(list_concat(ba, bb)))
+       END AS bigram_jaccard
+FROM bg
+""")
+
+
+def _q_scored_pairs_jaro(spark, sf_dir):
+    """Jaro-Winkler pair scoring — the similarity production ER pairs
+    with an edit-distance scorer for short name-like fields (here the
+    token vocabulary's candidate pairs).  The kernel (kernels/jaro.py) is
+    bit-identical to DuckDB's builtin on ASCII; the fixture is guarded to
+    ASCII on BOTH engines (octet_length = length / strlen = length)
+    because DuckDB's builtin walks UTF-8 bytes where the kernel counts
+    codepoints (divergence pinned in tests/test_kernel_jaro.py).
+
+    Scale shape: same one-ArrowEvalPython plan as scored_pairs_osa — the
+    ASCII guard and the candidate join stay in whole-stage codegen, only
+    (term_a, term_b) cross into Python, only the double returns."""
+    from .functions.udfs import jaro_winkler_udf
+
+    blocks = build_blocks(_distinct_terms(spark, sf_dir))
+    pairs = (candidate_pairs(blocks)
+             .where((F.octet_length("term_a") == F.length("term_a"))
+                    & (F.octet_length("term_b") == F.length("term_b"))))
+    jw = jaro_winkler_udf()
+    return (pairs.select("term_a", "term_b",
+                         jw(F.col("term_a"), F.col("term_b")).alias("jw"))
+            .where(F.col("jw") >= 0.8))
+
+
+_O_SCORED_JARO = (_SQL_CAND_PAIRS + """
+SELECT term_a, term_b, jaro_winkler_similarity(term_a, term_b) AS jw
+FROM cand
+WHERE strlen(term_a) = length(term_a) AND strlen(term_b) = length(term_b)
+  AND jaro_winkler_similarity(term_a, term_b) >= 0.8
+""")
+
+
 # oracle field: a literal SQL string, a callable (sf_dir) -> SQL for
 # oracles whose expected values are precomputed per scale factor
 # (compound_correct), or None for a rows-only contract entry
@@ -4244,6 +4626,13 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
                                   _O_CAND_PREFILTER),
     "linkage_f1": (_q_linkage_f1, _O_LINKAGE_F1),
     "linkage_cluster_f1": (_q_linkage_cluster_f1, _O_LINKAGE_CLUSTER_F1),
+    "golden_record": (_q_golden_record, _O_GOLDEN_RECORD),
+    "cluster_stats": (_q_cluster_stats, _O_CLUSTER_STATS),
+    "incremental_linkage": (_q_incremental_linkage,
+                            _O_INCREMENTAL_LINKAGE),
+    "er_threshold_sweep": (_q_er_threshold_sweep, _O_ER_THRESHOLD_SWEEP),
+    "pair_features": (_q_pair_features, _O_PAIR_FEATURES),
+    "scored_pairs_jaro": (_q_scored_pairs_jaro, _O_SCORED_JARO),
     "pii_scrub": (_q_pii_scrub, _O_PII_SCRUB),
     "html_extract": (_q_html_extract, _O_HTML_EXTRACT),
     "blocking_stats": (_q_blocking_stats, _O_BLOCKING_STATS),
