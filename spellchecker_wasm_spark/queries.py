@@ -4449,6 +4449,113 @@ FROM newpages n LEFT JOIN bestn b ON n.page_id = b.new_id
 """)
 
 
+def _stream_two_file_source_df(df, order_col: str) -> str:
+    """_stream_two_file_source for a DERIVED DataFrame (no backing
+    parquet table): materialize via Arrow into two mtime-ordered files
+    split at the order_col midpoint.  Inputs are small derived fixtures
+    (the incremental page batch: |part| rows), so one toPandas is the
+    cheap path."""
+    import glob
+    import os
+    import tempfile
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pdf = df.toPandas().sort_values(order_col, kind="mergesort")
+    d = tempfile.mkdtemp(prefix="swspark_stream_df_")
+    os.makedirs(d + "/f1"), os.makedirs(d + "/f2")
+    n = len(pdf)
+    pq.write_table(pa.Table.from_pandas(pdf.iloc[:n // 2],
+                                        preserve_index=False),
+                   d + "/f1/part-0.parquet")
+    pq.write_table(pa.Table.from_pandas(pdf.iloc[n // 2:],
+                                        preserve_index=False),
+                   d + "/f2/part-0.parquet")
+    later = time.time() + 60
+    for p in glob.glob(d + "/f2/*.parquet"):
+        os.utime(p, (later, later))
+    return d
+
+
+def _q_stream_incremental_linkage(spark, sf_dir):
+    """incremental_linkage as a STREAM: new pages arrive in micro-batches
+    and are matched against the STANDING cluster index via a
+    stream-static join — the continuous-arrival rendition of the
+    steady-state ER operation (the batch query is the backfill form).
+    Final state == the batch assignment, so the incremental_linkage
+    oracle applies verbatim.
+
+    Plan shape: the static side (existing pages' hash delete keys +
+    title + component) is computed once, persisted, and re-read from
+    cache by every micro-batch; the stream side is a pure
+    projection+Generate key explode (stateless), the probe is a
+    stream-LEFT-outer static join (null ex_id rows preserve
+    never-matched pages for the singleton fallback — validity moves
+    into the arg-min key instead of a row filter so no new page can be
+    dropped), scoring is the same Arrow OSA UDF, and the ONLY stateful
+    operator is the final per-new_id min aggregation (complete mode;
+    state is one BIGINT per new page).  Production note: the exploded
+    key rows reach the scorer un-deduplicated — duplicates cannot
+    change a min, and per-batch dedup would add a stateful op for pure
+    cost at this fan-out (~29 keys/page)."""
+    import uuid
+
+    from .functions.delete_hash_expr import delete_key_hash_explode
+    from .functions.udfs import osa_distance_udf
+
+    pages, asg = _lk_cc_asg(spark, sf_dir)
+    asg = asg.select(F.col("page_id").alias("ex_id"), "component")
+    eb = (delete_key_hash_explode(
+        pages.select(F.col("page_id").alias("ex_id"),
+                     F.length("title").alias("el"),
+                     F.substring("title", 1, 7).alias("prefix")),
+        "prefix", keep_cols=["ex_id", "el"])
+        .join(pages.select(F.col("page_id").alias("ex_id"),
+                           F.col("title").alias("term_b")), "ex_id")
+        .join(asg, "ex_id"))
+    eb = eb.persist()
+    eb.count()  # materialize the standing index before the stream starts
+
+    new = _lk_new_pages(spark, sf_dir)
+    path = _stream_two_file_source_df(new, "page_id")
+    stream = (spark.readStream.schema(new.schema)
+              .option("maxFilesPerTrigger", "1").parquet(path + "/*"))
+    nb = delete_key_hash_explode(
+        stream.select(F.col("page_id").alias("new_id"),
+                      F.col("title").alias("term_a"),
+                      F.length("title").alias("nl"),
+                      F.substring("title", 1, 7).alias("prefix")),
+        "prefix", keep_cols=["new_id", "term_a", "nl"])
+    j = nb.join(eb, "block_key", "left")
+    osa = osa_distance_udf(2)
+    scored = j.withColumn("distance", osa(F.col("term_a"),
+                                          F.col("term_b")))
+    valid = (F.col("ex_id").isNotNull()
+             & (F.abs(F.col("nl") - F.col("el")) <= 2)
+             & F.col("distance").isNotNull())
+    key = F.when(valid,
+                 F.col("distance").cast("bigint") * F.lit(_LK_BEST_SCALE)
+                 + F.col("component").cast("bigint"))
+    agg = (scored.groupBy("new_id")
+           .agg(F.min(key).alias("best_key")))
+    comp = F.coalesce(F.col("best_key") % F.lit(_LK_BEST_SCALE),
+                      F.col("new_id").cast("bigint"))
+    out = agg.select(
+        F.col("new_id").cast("bigint").alias("new_page_id"),
+        F.col("best_key").isNotNull().cast("bigint").alias("matched"),
+        comp.alias("component"),
+        (comp == F.col("new_id").cast("bigint") - 3).cast("bigint")
+        .alias("correct"))
+    name = "stream_inc_linkage_" + uuid.uuid4().hex[:8]
+    q = (out.writeStream.format("memory").queryName(name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    eb.unpersist()
+    return spark.table(name)
+
+
 def _q_er_threshold_sweep(spark, sf_dir):
     """Threshold tuning in ONE pass: precision/recall/F1 at every
     distance threshold (0, 1, 2) from a single scoring run — the sweep a
@@ -4630,6 +4737,8 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     "cluster_stats": (_q_cluster_stats, _O_CLUSTER_STATS),
     "incremental_linkage": (_q_incremental_linkage,
                             _O_INCREMENTAL_LINKAGE),
+    "stream_incremental_linkage": (_q_stream_incremental_linkage,
+                                   _O_INCREMENTAL_LINKAGE),
     "er_threshold_sweep": (_q_er_threshold_sweep, _O_ER_THRESHOLD_SWEEP),
     "pair_features": (_q_pair_features, _O_PAIR_FEATURES),
     "scored_pairs_jaro": (_q_scored_pairs_jaro, _O_SCORED_JARO),
