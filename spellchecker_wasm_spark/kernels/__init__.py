@@ -6,9 +6,13 @@ from .distance import (
     levenshtein_distance,
     prefix_suffix_prep,
 )
+from .jaro import jaro_similarity, jaro_winkler_batch, jaro_winkler_similarity
 from .symspell import SuggestItem, SymSpellKernel, Verbosity
 
 __all__ = [
+    "jaro_similarity",
+    "jaro_winkler_batch",
+    "jaro_winkler_similarity",
     "is_alpha_numeric",
     "parse_words",
     "to_char_code",

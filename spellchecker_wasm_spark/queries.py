@@ -4708,14 +4708,14 @@ def _q_scored_pairs_jaro(spark, sf_dir):
     jw = jaro_winkler_udf()
     return (pairs.select("term_a", "term_b",
                          jw(F.col("term_a"), F.col("term_b")).alias("jw"))
-            .where(F.col("jw") >= 0.8))
+            .where(F.col("jw") >= 0.6))
 
 
 _O_SCORED_JARO = (_SQL_CAND_PAIRS + """
 SELECT term_a, term_b, jaro_winkler_similarity(term_a, term_b) AS jw
 FROM cand
 WHERE strlen(term_a) = length(term_a) AND strlen(term_b) = length(term_b)
-  AND jaro_winkler_similarity(term_a, term_b) >= 0.8
+  AND jaro_winkler_similarity(term_a, term_b) >= 0.6
 """)
 
 
