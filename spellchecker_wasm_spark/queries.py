@@ -4342,8 +4342,19 @@ def _lk_new_pages(spark, sf_dir):
 # best-match order key: distance then component — packed into ONE BIGINT
 # so min() is the arg-min on both engines (components are page ids,
 # < 10^11 at every catalog SF; asserted nowhere because the fixture
-# construction bounds them by 10 * |part| + 3)
-_LK_BEST_SCALE = 100_000_000_000
+# construction bounds them by 10 * |part| + 3).  Shared with the
+# assignment operator (operators/incremental.py), whose synthetic-frame
+# unit tests cover the singleton and tie paths this fixture never takes.
+from .operators.incremental import (  # noqa: E402
+    BEST_SCALE as _LK_BEST_SCALE, assign_new_records, standing_index)
+
+
+def _lk_correct(out):
+    """fixture-specific accuracy flag: the true component is the
+    entity's canonical page, new_page_id - 3."""
+    return out.withColumn(
+        "correct",
+        (F.col("component") == F.col("new_page_id") - 3).cast("bigint"))
 
 
 def _q_incremental_linkage(spark, sf_dir):
@@ -4364,45 +4375,12 @@ def _q_incremental_linkage(spark, sf_dir):
     batch side is explicitly broadcast) and NOTHING reshuffles the
     corpus.  The verified-pair parity argument vs the oracle's string
     keys is linkage_f1's: hash ⊇ string only through ~2^-64 collisions,
-    and verification closes the gap."""
-    from .functions.delete_hash_expr import delete_key_hash_explode
-
+    and verification closes the gap.  Assignment mechanics (slim pair
+    dedup, packed arg-min, singleton left join) live in
+    operators/incremental.assign_new_records."""
     pages, asg = _lk_cc_asg(spark, sf_dir)
-    asg = asg.select(F.col("page_id").alias("ex_id"), "component")
     new = _lk_new_pages(spark, sf_dir)
-    nb = delete_key_hash_explode(
-        new.select(F.col("page_id").alias("new_id"),
-                   F.length("title").alias("nl"),
-                   F.substring("title", 1, 7).alias("prefix")),
-        "prefix", keep_cols=["new_id", "nl"])
-    eb = delete_key_hash_explode(
-        pages.select(F.col("page_id").alias("ex_id"),
-                     F.length("title").alias("el"),
-                     F.substring("title", 1, 7).alias("prefix")),
-        "prefix", keep_cols=["ex_id", "el"])
-    cand = (nb.join(eb, "block_key")
-            .where(F.abs(F.col("nl") - F.col("el")) <= 2)
-            .select("new_id", "ex_id").distinct())
-    ndim = new.select(F.col("page_id").alias("new_id"),
-                      F.col("title").alias("term_a"))
-    edim = pages.select(F.col("page_id").alias("ex_id"),
-                        F.col("title").alias("term_b"))
-    scored = score_pairs(cand.join(ndim, "new_id").join(edim, "ex_id"),
-                         max_distance=2)
-    key = (F.col("distance").cast("bigint") * F.lit(_LK_BEST_SCALE)
-           + F.col("component").cast("bigint"))
-    best = (scored.join(asg, "ex_id")
-            .groupBy("new_id").agg(F.min(key).alias("best_key")))
-    out = (new.select(F.col("page_id").alias("new_id"))
-           .join(best, "new_id", "left"))
-    comp = F.coalesce(F.col("best_key") % F.lit(_LK_BEST_SCALE),
-                      F.col("new_id").cast("bigint"))
-    return out.select(
-        F.col("new_id").cast("bigint").alias("new_page_id"),
-        F.col("best_key").isNotNull().cast("bigint").alias("matched"),
-        comp.alias("component"),
-        (comp == F.col("new_id").cast("bigint") - 3).cast("bigint")
-        .alias("correct"))
+    return _lk_correct(assign_new_records(new, pages, asg))
 
 
 _O_INCREMENTAL_LINKAGE = ("WITH RECURSIVE" + _LK_SQL_FIXTURE + _LK_SQL_CC
@@ -4499,55 +4477,19 @@ def _q_stream_incremental_linkage(spark, sf_dir):
     state is one BIGINT per new page).  Production note: the exploded
     key rows reach the scorer un-deduplicated — duplicates cannot
     change a min, and per-batch dedup would add a stateful op for pure
-    cost at this fan-out (~29 keys/page)."""
+    cost at this fan-out (~29 keys/page).  Assignment mechanics live in
+    operators/incremental.assign_new_records (streaming path)."""
     import uuid
 
-    from .functions.delete_hash_expr import delete_key_hash_explode
-    from .functions.udfs import osa_distance_udf
-
     pages, asg = _lk_cc_asg(spark, sf_dir)
-    asg = asg.select(F.col("page_id").alias("ex_id"), "component")
-    eb = (delete_key_hash_explode(
-        pages.select(F.col("page_id").alias("ex_id"),
-                     F.length("title").alias("el"),
-                     F.substring("title", 1, 7).alias("prefix")),
-        "prefix", keep_cols=["ex_id", "el"])
-        .join(pages.select(F.col("page_id").alias("ex_id"),
-                           F.col("title").alias("term_b")), "ex_id")
-        .join(asg, "ex_id"))
-    eb = eb.persist()
+    eb = standing_index(pages, asg).persist()
     eb.count()  # materialize the standing index before the stream starts
 
     new = _lk_new_pages(spark, sf_dir)
     path = _stream_two_file_source_df(new, "page_id")
     stream = (spark.readStream.schema(new.schema)
               .option("maxFilesPerTrigger", "1").parquet(path + "/*"))
-    nb = delete_key_hash_explode(
-        stream.select(F.col("page_id").alias("new_id"),
-                      F.col("title").alias("term_a"),
-                      F.length("title").alias("nl"),
-                      F.substring("title", 1, 7).alias("prefix")),
-        "prefix", keep_cols=["new_id", "term_a", "nl"])
-    j = nb.join(eb, "block_key", "left")
-    osa = osa_distance_udf(2)
-    scored = j.withColumn("distance", osa(F.col("term_a"),
-                                          F.col("term_b")))
-    valid = (F.col("ex_id").isNotNull()
-             & (F.abs(F.col("nl") - F.col("el")) <= 2)
-             & F.col("distance").isNotNull())
-    key = F.when(valid,
-                 F.col("distance").cast("bigint") * F.lit(_LK_BEST_SCALE)
-                 + F.col("component").cast("bigint"))
-    agg = (scored.groupBy("new_id")
-           .agg(F.min(key).alias("best_key")))
-    comp = F.coalesce(F.col("best_key") % F.lit(_LK_BEST_SCALE),
-                      F.col("new_id").cast("bigint"))
-    out = agg.select(
-        F.col("new_id").cast("bigint").alias("new_page_id"),
-        F.col("best_key").isNotNull().cast("bigint").alias("matched"),
-        comp.alias("component"),
-        (comp == F.col("new_id").cast("bigint") - 3).cast("bigint")
-        .alias("correct"))
+    out = _lk_correct(assign_new_records(stream, pages, asg, index=eb))
     name = "stream_inc_linkage_" + uuid.uuid4().hex[:8]
     q = (out.writeStream.format("memory").queryName(name)
          .outputMode("complete").trigger(availableNow=True).start())
