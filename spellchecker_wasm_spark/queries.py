@@ -3888,7 +3888,7 @@ def _q_linkage_cluster_f1(spark, sf_dir):
 
 # pages + blocks CTE chain (shared by the metric oracles and
 # blocking_stats)
-_LK_SQL_PAGES_BLOCKS = f"""
+_LK_SQL_PAGES = f"""
 pk AS (SELECT p_partkey, {_LK_HASHES[0]}, {_LK_HASHES[1]} FROM part),
 g AS (SELECT p_partkey, h, {_LK_RESIDUES[0]}, {_LK_RESIDUES[1]} FROM pk),
 sl AS (SELECT p_partkey, h, {_LK_SLUG} AS s FROM g),
@@ -3897,8 +3897,11 @@ pages AS (
     UNION ALL
     SELECT p_partkey * 10 + 1, {_LK_V1} FROM sl
     UNION ALL
-    SELECT p_partkey * 10 + 2, {_LK_V2} FROM sl),
-{_sql_blocks_over('SELECT DISTINCT title AS term FROM pages')}"""
+    SELECT p_partkey * 10 + 2, {_LK_V2} FROM sl)"""
+
+_LK_SQL_PAGES_BLOCKS = (_LK_SQL_PAGES + ",\n"
+                        + _sql_blocks_over(
+                            'SELECT DISTINCT title AS term FROM pages'))
 
 _LK_SQL_FIXTURE = _LK_SQL_PAGES_BLOCKS + """,
 pb AS (SELECT p.page_id, b.block_key, length(p.title) AS tl, p.title
@@ -4661,6 +4664,125 @@ WHERE strlen(term_a) = length(term_a) AND strlen(term_b) = length(term_b)
 """)
 
 
+_SNM_WINDOW = 3
+
+
+def _q_snm_pairs(spark, sf_dir):
+    """Sorted-neighborhood blocking (the SECOND classic blocking family,
+    operators/snm.py) over the labeled pages: pairs within
+    {_SNM_WINDOW} positions of the (title, page_id) sort order, verified
+    at OSA ≤ 2.  Complements delete-key blocking — SNM catches pairs
+    whose edits fall outside the delete neighborhood but misses pairs
+    whose sort keys diverge at an early edit position (measured
+    head-to-head in blocking_compare).
+
+    Scale shape: NO single-task global window — sorted_ranks
+    range-repartitions + sorts distributed, derives global rank from a
+    per-physical-partition row_number plus broadcast cumulative offsets
+    (partition-count-sized), and neighbor pairing is a w-fan-out
+    equi-join on rank, not a range join."""
+    from .operators.snm import snm_candidate_pairs
+
+    pages = _lk_pages(spark, sf_dir)
+    cand = snm_candidate_pairs(pages, ["title", "page_id"],
+                               id_col="page_id", term_col="title",
+                               window=_SNM_WINDOW)
+    return (score_pairs(cand, max_distance=2)
+            .select(F.col("id_a").cast("bigint").alias("id_a"),
+                    F.col("id_b").cast("bigint").alias("id_b"),
+                    F.col("distance").cast("int").alias("distance")))
+
+
+_O_SNM_PAIRS = ("WITH" + _LK_SQL_PAGES + f""",
+ranks AS (SELECT page_id, title,
+                 row_number() OVER (ORDER BY title, page_id) AS rnk
+          FROM pages),
+sc AS (SELECT a.page_id AS pa, a.title AS ta,
+              b.page_id AS pb, b.title AS tb
+       FROM ranks a JOIN ranks b
+         ON b.rnk > a.rnk AND b.rnk <= a.rnk + {_SNM_WINDOW})
+SELECT CAST(least(pa, pb) AS BIGINT) AS id_a,
+       CAST(greatest(pa, pb) AS BIGINT) AS id_b,
+       CAST(damerau_levenshtein(ta, tb) AS INTEGER) AS distance
+FROM sc WHERE damerau_levenshtein(ta, tb) <= 2
+""")
+
+
+def _q_blocking_compare(spark, sf_dir):
+    """Blocking-method comparison on complete truth: verified pair
+    counts and recall for delete-key blocking vs sorted-neighborhood,
+    plus their overlap — the head-to-head a production ER team runs
+    before picking (or unioning) blocking strategies.  All counts are
+    exact BIGINTs from one three-way full-outer join on (long, long);
+    each recall is one division of exact integers."""
+    from .operators.snm import snm_candidate_pairs
+
+    pages, pred = _lk_pred(spark, sf_dir)
+    snm = (score_pairs(
+        snm_candidate_pairs(pages, ["title", "page_id"],
+                            id_col="page_id", term_col="title",
+                            window=_SNM_WINDOW), max_distance=2)
+        .select("id_a", "id_b"))
+    d = pred.select("id_a", "id_b").withColumn("ind", F.lit(1))
+    s = snm.withColumn("ins", F.lit(1))
+    t = _lk_truth(pages).select("id_a", "id_b",
+                                F.col("it").alias("intr"))
+    m = (d.join(s, ["id_a", "id_b"], "full_outer")
+         .join(t, ["id_a", "id_b"], "full_outer")
+         .select(F.coalesce("ind", F.lit(0)).alias("ind"),
+                 F.coalesce("ins", F.lit(0)).alias("ins"),
+                 F.coalesce("intr", F.lit(0)).alias("intr")))
+    agg = m.agg(
+        F.sum("ind").cast("bigint").alias("n_delete"),
+        F.sum("ins").cast("bigint").alias("n_snm"),
+        F.sum(F.col("ind") * F.col("ins")).cast("bigint")
+        .alias("n_common"),
+        F.sum("intr").cast("bigint").alias("n_truth"),
+        F.sum(F.col("ind") * F.col("intr")).cast("bigint")
+        .alias("tp_delete"),
+        F.sum(F.col("ins") * F.col("intr")).cast("bigint")
+        .alias("tp_snm"))
+    return agg.select(
+        "n_delete", "n_snm", "n_common", "n_truth", "tp_delete",
+        "tp_snm",
+        (F.col("tp_delete") / F.col("n_truth")).alias("recall_delete"),
+        (F.col("tp_snm") / F.col("n_truth")).alias("recall_snm"))
+
+
+_O_BLOCKING_COMPARE = ("WITH RECURSIVE" + _LK_SQL_FIXTURE + f""",
+ranks AS (SELECT page_id, title,
+                 row_number() OVER (ORDER BY title, page_id) AS rnk
+          FROM pages),
+snmc AS (SELECT a.page_id AS pa, a.title AS ta,
+                b.page_id AS pb, b.title AS tb
+         FROM ranks a JOIN ranks b
+           ON b.rnk > a.rnk AND b.rnk <= a.rnk + {_SNM_WINDOW}),
+snm AS (SELECT least(pa, pb) AS id_a, greatest(pa, pb) AS id_b
+        FROM snmc WHERE damerau_levenshtein(ta, tb) <= 2),
+truth AS (SELECT a.page_id AS id_a, b.page_id AS id_b
+          FROM pages a JOIN pages b
+            ON a.page_id // 10 = b.page_id // 10
+           AND a.page_id < b.page_id),
+m AS (SELECT coalesce(d.f, 0) AS ind, coalesce(s.f, 0) AS ins,
+             coalesce(t.f, 0) AS intr
+      FROM (SELECT id_a, id_b, 1 AS f FROM pred) d
+      FULL OUTER JOIN (SELECT id_a, id_b, 1 AS f FROM snm) s
+        ON d.id_a = s.id_a AND d.id_b = s.id_b
+      FULL OUTER JOIN (SELECT id_a, id_b, 1 AS f FROM truth) t
+        ON coalesce(d.id_a, s.id_a) = t.id_a
+       AND coalesce(d.id_b, s.id_b) = t.id_b)
+SELECT CAST(sum(ind) AS BIGINT) AS n_delete,
+       CAST(sum(ins) AS BIGINT) AS n_snm,
+       CAST(sum(ind * ins) AS BIGINT) AS n_common,
+       CAST(sum(intr) AS BIGINT) AS n_truth,
+       CAST(sum(ind * intr) AS BIGINT) AS tp_delete,
+       CAST(sum(ins * intr) AS BIGINT) AS tp_snm,
+       CAST(sum(ind * intr) AS DOUBLE) / sum(intr) AS recall_delete,
+       CAST(sum(ins * intr) AS DOUBLE) / sum(intr) AS recall_snm
+FROM m
+""")
+
+
 # oracle field: a literal SQL string, a callable (sf_dir) -> SQL for
 # oracles whose expected values are precomputed per scale factor
 # (compound_correct), or None for a rows-only contract entry
@@ -4683,6 +4805,8 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
                                    _O_INCREMENTAL_LINKAGE),
     "er_threshold_sweep": (_q_er_threshold_sweep, _O_ER_THRESHOLD_SWEEP),
     "pair_features": (_q_pair_features, _O_PAIR_FEATURES),
+    "snm_pairs": (_q_snm_pairs, _O_SNM_PAIRS),
+    "blocking_compare": (_q_blocking_compare, _O_BLOCKING_COMPARE),
     "scored_pairs_jaro": (_q_scored_pairs_jaro, _O_SCORED_JARO),
     "pii_scrub": (_q_pii_scrub, _O_PII_SCRUB),
     "html_extract": (_q_html_extract, _O_HTML_EXTRACT),
