@@ -4783,6 +4783,49 @@ FROM m
 """)
 
 
+def _q_recrawl_dedup(spark, sf_dir):
+    """URL-level recrawl dedup: keep the NEWEST capture per canonical
+    URL — the capture-dedup pass a Common-Crawl-style corpus runs
+    before linkage (the input_hint's (url, warc_ts) pairing; a ts tie
+    keeps the larger capture id).  ONE combine-reduced aggregation: the
+    arg-max rides a zero-padded (epoch-micros, capture-id) string key
+    so map-side partials reduce to one binary max per url — no window,
+    no sort, no second scan.  At 10^12 captures this is the only shape
+    that works: a row_number window would sort every url group, and a
+    max-then-self-join would scan twice.  Fixture: captures derived
+    from events (url from user_id mod 97, capture ts/id = event
+    ts/event_id)."""
+    ev = load(spark, sf_dir, "events")
+    url = F.concat(F.lit("https://crawl.example/u/"),
+                   (F.col("user_id") % 97).cast("string"))
+    key = F.concat(
+        F.lpad(F.unix_micros(F.col("ts").cast("timestamp"))
+               .cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"))
+    return (ev.select(url.alias("url"), "ts", "event_id",
+                      key.alias("k"))
+            .groupBy("url")
+            .agg(F.max_by("event_id", F.col("k")).cast("bigint")
+                 .alias("kept_event_id"),
+                 F.unix_micros(F.max("ts").cast("timestamp"))
+                 .cast("bigint").alias("latest_ts_us"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_captures")))
+
+
+_O_RECRAWL_DEDUP = """
+WITH c AS (SELECT concat('https://crawl.example/u/',
+                         CAST(user_id % 97 AS VARCHAR)) AS url,
+                  ts, event_id,
+                  concat(lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0'),
+                         lpad(CAST(event_id AS VARCHAR), 12, '0')) AS k
+           FROM events)
+SELECT url, CAST(arg_max(event_id, k) AS BIGINT) AS kept_event_id,
+       CAST(epoch_us(max(ts)) AS BIGINT) AS latest_ts_us,
+       CAST(count(*) AS BIGINT) AS n_captures
+FROM c GROUP BY url
+"""
+
+
 # oracle field: a literal SQL string, a callable (sf_dir) -> SQL for
 # oracles whose expected values are precomputed per scale factor
 # (compound_correct), or None for a rows-only contract entry
@@ -4807,6 +4850,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     "pair_features": (_q_pair_features, _O_PAIR_FEATURES),
     "snm_pairs": (_q_snm_pairs, _O_SNM_PAIRS),
     "blocking_compare": (_q_blocking_compare, _O_BLOCKING_COMPARE),
+    "recrawl_dedup": (_q_recrawl_dedup, _O_RECRAWL_DEDUP),
     "scored_pairs_jaro": (_q_scored_pairs_jaro, _O_SCORED_JARO),
     "pii_scrub": (_q_pii_scrub, _O_PII_SCRUB),
     "html_extract": (_q_html_extract, _O_HTML_EXTRACT),
