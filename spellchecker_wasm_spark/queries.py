@@ -4693,92 +4693,163 @@ def _q_snm_pairs(spark, sf_dir):
                     F.col("distance").cast("int").alias("distance")))
 
 
-_O_SNM_PAIRS = ("WITH" + _LK_SQL_PAGES + f""",
-ranks AS (SELECT page_id, title,
-                 row_number() OVER (ORDER BY title, page_id) AS rnk
-          FROM pages),
-sc AS (SELECT a.page_id AS pa, a.title AS ta,
-              b.page_id AS pb, b.title AS tb
-       FROM ranks a JOIN ranks b
-         ON b.rnk > a.rnk AND b.rnk <= a.rnk + {_SNM_WINDOW})
-SELECT CAST(least(pa, pb) AS BIGINT) AS id_a,
-       CAST(greatest(pa, pb) AS BIGINT) AS id_b,
-       CAST(damerau_levenshtein(ta, tb) AS INTEGER) AS distance
-FROM sc WHERE damerau_levenshtein(ta, tb) <= 2
+def _o_snm_pairs() -> str:
+    # defined after _SNM_SQL_RANKS below; deferred so both single- and
+    # multi-key oracles share one ranks CTE text
+    return ("WITH" + _LK_SQL_PAGES + _SNM_SQL_RANKS + """
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       CAST(distance AS INTEGER) AS distance
+FROM snm1
+""")
+
+
+def _lk_snm_pairs(spark, sf_dir, pages, multikey: bool):
+    """Verified SNM pair set (id_a, id_b, term_a, term_b, distance);
+    multikey adds the reversed-title second pass (the standard SNM
+    recall fix: a second sort key whose order survives early-position
+    edits) with a slim distinct BEFORE scoring so shared pairs cross
+    the Arrow exchange once."""
+    from .operators.snm import snm_candidate_pairs
+
+    p = pages.withColumn("rtitle", F.reverse("title"))
+    cand = snm_candidate_pairs(p, ["title", "page_id"],
+                               id_col="page_id", term_col="title",
+                               window=_SNM_WINDOW)
+    if multikey:
+        c2 = snm_candidate_pairs(p, ["rtitle", "page_id"],
+                                 id_col="page_id", term_col="title",
+                                 window=_SNM_WINDOW)
+        cand = cand.unionByName(c2).distinct()
+    return score_pairs(cand, max_distance=2)
+
+
+def _q_snm_multikey_pairs(spark, sf_dir):
+    """Multi-pass sorted-neighborhood: union of the (title) and
+    (reversed title) sort passes — the standard SNM technique for the
+    family's known blind spot (early-position edits scatter the
+    forward sort; the reversed key re-collates them).  Measured on the
+    fixture at sf0.01: recall 0.6255 single-key → 0.9370 two-key
+    (blocking_compare carries the head-to-head).  Scale shape: two
+    independent distributed-rank passes (each the snm_pairs plan), one
+    slim pair distinct, one Arrow scoring exchange."""
+    pages = _lk_pages(spark, sf_dir)
+    return (_lk_snm_pairs(spark, sf_dir, pages, multikey=True)
+            .select(F.col("id_a").cast("bigint").alias("id_a"),
+                    F.col("id_b").cast("bigint").alias("id_b"),
+                    F.col("distance").cast("int").alias("distance")))
+
+
+_SNM_SQL_RANKS = f""",
+r1 AS (SELECT page_id, title,
+              row_number() OVER (ORDER BY title, page_id) AS rnk
+       FROM pages),
+r2 AS (SELECT page_id, title,
+              row_number() OVER (ORDER BY reverse(title), page_id) AS rnk
+       FROM pages),
+snm1 AS (SELECT least(a.page_id, b.page_id) AS id_a,
+                greatest(a.page_id, b.page_id) AS id_b,
+                damerau_levenshtein(a.title, b.title) AS distance
+         FROM r1 a JOIN r1 b
+           ON b.rnk > a.rnk AND b.rnk <= a.rnk + {_SNM_WINDOW}
+         WHERE damerau_levenshtein(a.title, b.title) <= 2),
+snm2 AS (SELECT least(a.page_id, b.page_id) AS id_a,
+                greatest(a.page_id, b.page_id) AS id_b,
+                damerau_levenshtein(a.title, b.title) AS distance
+         FROM r2 a JOIN r2 b
+           ON b.rnk > a.rnk AND b.rnk <= a.rnk + {_SNM_WINDOW}
+         WHERE damerau_levenshtein(a.title, b.title) <= 2),
+snmu AS (SELECT DISTINCT id_a, id_b, distance FROM
+         (SELECT * FROM snm1 UNION ALL SELECT * FROM snm2))"""
+# ^ DISTINCT-over-UNION-ALL, not plain UNION: under WITH RECURSIVE
+# (the blocking_compare oracle) DuckDB gives a CTE whose top-level set
+# op is UNION the recursive-union treatment even without
+# self-reference, silently skipping the dedup (measured: 850 rows vs
+# the correct 578; fine under plain WITH).  Pinned in
+# tests/test_query_catalog.py::test_duckdb_recursive_union_quirk.
+
+_O_SNM_MULTIKEY = ("WITH" + _LK_SQL_PAGES + _SNM_SQL_RANKS + """
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       CAST(distance AS INTEGER) AS distance
+FROM snmu
 """)
 
 
 def _q_blocking_compare(spark, sf_dir):
     """Blocking-method comparison on complete truth: verified pair
-    counts and recall for delete-key blocking vs sorted-neighborhood,
-    plus their overlap — the head-to-head a production ER team runs
+    counts and recall for delete-key blocking vs single-key
+    sorted-neighborhood vs two-key (title + reversed-title) SNM, plus
+    the delete∩SNM overlap — the head-to-head a production ER team runs
     before picking (or unioning) blocking strategies.  All counts are
-    exact BIGINTs from one three-way full-outer join on (long, long);
-    each recall is one division of exact integers."""
-    from .operators.snm import snm_candidate_pairs
-
+    exact BIGINTs from one four-way full-outer join on (long, long);
+    each recall is one division of exact integers.  Measured at sf0.01:
+    delete 1.0, SNM(w=3) 0.6255, two-key SNM 0.9370."""
     pages, pred = _lk_pred(spark, sf_dir)
-    snm = (score_pairs(
-        snm_candidate_pairs(pages, ["title", "page_id"],
-                            id_col="page_id", term_col="title",
-                            window=_SNM_WINDOW), max_distance=2)
-        .select("id_a", "id_b"))
+    snm = _lk_snm_pairs(spark, sf_dir, pages,
+                        multikey=False).select("id_a", "id_b")
+    mk = _lk_snm_pairs(spark, sf_dir, pages,
+                       multikey=True).select("id_a", "id_b")
     d = pred.select("id_a", "id_b").withColumn("ind", F.lit(1))
     s = snm.withColumn("ins", F.lit(1))
+    k = mk.withColumn("inm", F.lit(1))
     t = _lk_truth(pages).select("id_a", "id_b",
                                 F.col("it").alias("intr"))
     m = (d.join(s, ["id_a", "id_b"], "full_outer")
+         .join(k, ["id_a", "id_b"], "full_outer")
          .join(t, ["id_a", "id_b"], "full_outer")
          .select(F.coalesce("ind", F.lit(0)).alias("ind"),
                  F.coalesce("ins", F.lit(0)).alias("ins"),
+                 F.coalesce("inm", F.lit(0)).alias("inm"),
                  F.coalesce("intr", F.lit(0)).alias("intr")))
     agg = m.agg(
         F.sum("ind").cast("bigint").alias("n_delete"),
         F.sum("ins").cast("bigint").alias("n_snm"),
+        F.sum("inm").cast("bigint").alias("n_snm_mk"),
         F.sum(F.col("ind") * F.col("ins")).cast("bigint")
         .alias("n_common"),
         F.sum("intr").cast("bigint").alias("n_truth"),
         F.sum(F.col("ind") * F.col("intr")).cast("bigint")
         .alias("tp_delete"),
         F.sum(F.col("ins") * F.col("intr")).cast("bigint")
-        .alias("tp_snm"))
+        .alias("tp_snm"),
+        F.sum(F.col("inm") * F.col("intr")).cast("bigint")
+        .alias("tp_snm_mk"))
     return agg.select(
-        "n_delete", "n_snm", "n_common", "n_truth", "tp_delete",
-        "tp_snm",
+        "n_delete", "n_snm", "n_snm_mk", "n_common", "n_truth",
+        "tp_delete", "tp_snm", "tp_snm_mk",
         (F.col("tp_delete") / F.col("n_truth")).alias("recall_delete"),
-        (F.col("tp_snm") / F.col("n_truth")).alias("recall_snm"))
+        (F.col("tp_snm") / F.col("n_truth")).alias("recall_snm"),
+        (F.col("tp_snm_mk") / F.col("n_truth"))
+        .alias("recall_snm_mk"))
 
 
-_O_BLOCKING_COMPARE = ("WITH RECURSIVE" + _LK_SQL_FIXTURE + f""",
-ranks AS (SELECT page_id, title,
-                 row_number() OVER (ORDER BY title, page_id) AS rnk
-          FROM pages),
-snmc AS (SELECT a.page_id AS pa, a.title AS ta,
-                b.page_id AS pb, b.title AS tb
-         FROM ranks a JOIN ranks b
-           ON b.rnk > a.rnk AND b.rnk <= a.rnk + {_SNM_WINDOW}),
-snm AS (SELECT least(pa, pb) AS id_a, greatest(pa, pb) AS id_b
-        FROM snmc WHERE damerau_levenshtein(ta, tb) <= 2),
+_O_BLOCKING_COMPARE = ("WITH RECURSIVE" + _LK_SQL_FIXTURE
+                       + _SNM_SQL_RANKS + """,
 truth AS (SELECT a.page_id AS id_a, b.page_id AS id_b
           FROM pages a JOIN pages b
             ON a.page_id // 10 = b.page_id // 10
            AND a.page_id < b.page_id),
 m AS (SELECT coalesce(d.f, 0) AS ind, coalesce(s.f, 0) AS ins,
-             coalesce(t.f, 0) AS intr
+             coalesce(k.f, 0) AS inm, coalesce(t.f, 0) AS intr
       FROM (SELECT id_a, id_b, 1 AS f FROM pred) d
-      FULL OUTER JOIN (SELECT id_a, id_b, 1 AS f FROM snm) s
+      FULL OUTER JOIN (SELECT id_a, id_b, 1 AS f FROM snm1) s
         ON d.id_a = s.id_a AND d.id_b = s.id_b
+      FULL OUTER JOIN (SELECT id_a, id_b, 1 AS f FROM snmu) k
+        ON coalesce(d.id_a, s.id_a) = k.id_a
+       AND coalesce(d.id_b, s.id_b) = k.id_b
       FULL OUTER JOIN (SELECT id_a, id_b, 1 AS f FROM truth) t
-        ON coalesce(d.id_a, s.id_a) = t.id_a
-       AND coalesce(d.id_b, s.id_b) = t.id_b)
+        ON coalesce(d.id_a, s.id_a, k.id_a) = t.id_a
+       AND coalesce(d.id_b, s.id_b, k.id_b) = t.id_b)
 SELECT CAST(sum(ind) AS BIGINT) AS n_delete,
        CAST(sum(ins) AS BIGINT) AS n_snm,
+       CAST(sum(inm) AS BIGINT) AS n_snm_mk,
        CAST(sum(ind * ins) AS BIGINT) AS n_common,
        CAST(sum(intr) AS BIGINT) AS n_truth,
        CAST(sum(ind * intr) AS BIGINT) AS tp_delete,
        CAST(sum(ins * intr) AS BIGINT) AS tp_snm,
+       CAST(sum(inm * intr) AS BIGINT) AS tp_snm_mk,
        CAST(sum(ind * intr) AS DOUBLE) / sum(intr) AS recall_delete,
-       CAST(sum(ins * intr) AS DOUBLE) / sum(intr) AS recall_snm
+       CAST(sum(ins * intr) AS DOUBLE) / sum(intr) AS recall_snm,
+       CAST(sum(inm * intr) AS DOUBLE) / sum(intr) AS recall_snm_mk
 FROM m
 """)
 
@@ -4848,7 +4919,8 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
                                    _O_INCREMENTAL_LINKAGE),
     "er_threshold_sweep": (_q_er_threshold_sweep, _O_ER_THRESHOLD_SWEEP),
     "pair_features": (_q_pair_features, _O_PAIR_FEATURES),
-    "snm_pairs": (_q_snm_pairs, _O_SNM_PAIRS),
+    "snm_pairs": (_q_snm_pairs, _o_snm_pairs()),
+    "snm_multikey_pairs": (_q_snm_multikey_pairs, _O_SNM_MULTIKEY),
     "blocking_compare": (_q_blocking_compare, _O_BLOCKING_COMPARE),
     "recrawl_dedup": (_q_recrawl_dedup, _O_RECRAWL_DEDUP),
     "scored_pairs_jaro": (_q_scored_pairs_jaro, _O_SCORED_JARO),

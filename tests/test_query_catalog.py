@@ -66,3 +66,21 @@ def test_catalog_queries_nonempty(spark, ddb):
                  f"SELECT 1 FROM ({sql(SF_DIR) if callable(sql) else sql}) "
                  "LIMIT 1").fetchall()]
     assert not empty, f"queries with empty results: {empty}"
+
+
+def test_duckdb_recursive_union_quirk(ddb):
+    """Pin the DuckDB behavior that bit blocking_compare: under WITH
+    RECURSIVE, a CTE whose top-level set op is UNION gets the
+    recursive-union treatment even without self-reference — the dedup
+    is skipped (UNION-ALL-like result).  Every oracle CTE therefore
+    either (a) is genuinely recursive (d, reach), (b) has provably
+    disjoint internally-distinct branches (blocks, e), or (c) uses
+    DISTINCT over UNION ALL (snmu).  If a DuckDB upgrade fixes this,
+    this test flips and the workarounds can be simplified."""
+    rows = ddb.sql("""
+        WITH RECURSIVE u AS (SELECT 1 AS x UNION SELECT 1 AS x)
+        SELECT count(*) FROM u""").fetchall()
+    # standard SQL says 1; DuckDB 1.x under WITH RECURSIVE says 2
+    assert rows[0][0] == 2, (
+        "DuckDB now dedups top-level UNION CTEs under WITH RECURSIVE - "
+        "revisit the DISTINCT-over-UNION-ALL workarounds in queries.py")
