@@ -4,6 +4,8 @@ from .scoring import (distance_from_similarity, osa_similarity,
                       osa_similarity2, score_pairs, score_pairs_arrow,
                       similarity_from_distance)
 from .clustering import connected_components
+from .incremental import assign_new_records, standing_index
+from .snm import snm_candidate_pairs, sorted_ranks
 from .compound import compound_correct, segment_texts
 from .dictionary import aggregate_word_counts, parse_dictionary_lines
 from .lookup import distributed_lookup
@@ -22,6 +24,10 @@ __all__ = [
     "similarity_from_distance",
     "distance_from_similarity",
     "connected_components",
+    "assign_new_records",
+    "standing_index",
+    "snm_candidate_pairs",
+    "sorted_ranks",
     "compound_correct",
     "segment_texts",
     "aggregate_word_counts",

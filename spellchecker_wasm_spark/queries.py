@@ -4703,23 +4703,29 @@ FROM snm1
 """)
 
 
-def _lk_snm_pairs(spark, sf_dir, pages, multikey: bool):
-    """Verified SNM pair set (id_a, id_b, term_a, term_b, distance);
-    multikey adds the reversed-title second pass (the standard SNM
-    recall fix: a second sort key whose order survives early-position
-    edits) with a slim distinct BEFORE scoring so shared pairs cross
-    the Arrow exchange once."""
+def _lk_snm_flagged(spark, sf_dir, pages):
+    """BOTH SNM passes scored in ONE Arrow exchange: candidates from the
+    (title) and (reversed title) sorts union with per-pass source flags,
+    one groupBy dedups pairs while OR-ing the flags (max), and scoring
+    runs once — so a consumer needing single-key AND multi-key results
+    (blocking_compare) pays one subtree, not two.  Returns
+    (id_a, id_b, term_a, term_b, s1, s2, distance); the reversed-title
+    pass is the standard SNM recall fix — a second sort key whose order
+    survives early-position edits."""
     from .operators.snm import snm_candidate_pairs
 
     p = pages.withColumn("rtitle", F.reverse("title"))
-    cand = snm_candidate_pairs(p, ["title", "page_id"],
-                               id_col="page_id", term_col="title",
-                               window=_SNM_WINDOW)
-    if multikey:
-        c2 = snm_candidate_pairs(p, ["rtitle", "page_id"],
-                                 id_col="page_id", term_col="title",
-                                 window=_SNM_WINDOW)
-        cand = cand.unionByName(c2).distinct()
+    c1 = (snm_candidate_pairs(p, ["title", "page_id"],
+                              id_col="page_id", term_col="title",
+                              window=_SNM_WINDOW)
+          .select("*", F.lit(1).alias("s1"), F.lit(0).alias("s2")))
+    c2 = (snm_candidate_pairs(p, ["rtitle", "page_id"],
+                              id_col="page_id", term_col="title",
+                              window=_SNM_WINDOW)
+          .select("*", F.lit(0).alias("s1"), F.lit(1).alias("s2")))
+    cand = (c1.unionByName(c2)
+            .groupBy("id_a", "id_b", "term_a", "term_b")
+            .agg(F.max("s1").alias("s1"), F.max("s2").alias("s2")))
     return score_pairs(cand, max_distance=2)
 
 
@@ -4733,7 +4739,7 @@ def _q_snm_multikey_pairs(spark, sf_dir):
     independent distributed-rank passes (each the snm_pairs plan), one
     slim pair distinct, one Arrow scoring exchange."""
     pages = _lk_pages(spark, sf_dir)
-    return (_lk_snm_pairs(spark, sf_dir, pages, multikey=True)
+    return (_lk_snm_flagged(spark, sf_dir, pages)
             .select(F.col("id_a").cast("bigint").alias("id_a"),
                     F.col("id_b").cast("bigint").alias("id_b"),
                     F.col("distance").cast("int").alias("distance")))
@@ -4780,21 +4786,21 @@ def _q_blocking_compare(spark, sf_dir):
     sorted-neighborhood vs two-key (title + reversed-title) SNM, plus
     the delete∩SNM overlap — the head-to-head a production ER team runs
     before picking (or unioning) blocking strategies.  All counts are
-    exact BIGINTs from one four-way full-outer join on (long, long);
+    exact BIGINTs from one three-way full-outer join on (long, long);
     each recall is one division of exact integers.  Measured at sf0.01:
-    delete 1.0, SNM(w=3) 0.6255, two-key SNM 0.9370."""
+    delete 1.0, SNM(w=3) 0.6255, two-key SNM 0.9370.
+
+    Single-key membership rides the multi-key row as its s1 flag
+    (single ⊆ multi by construction), so BOTH SNM columns come from ONE
+    scored subtree — one union, one pair groupBy, one Arrow exchange."""
     pages, pred = _lk_pred(spark, sf_dir)
-    snm = _lk_snm_pairs(spark, sf_dir, pages,
-                        multikey=False).select("id_a", "id_b")
-    mk = _lk_snm_pairs(spark, sf_dir, pages,
-                       multikey=True).select("id_a", "id_b")
+    flagged = _lk_snm_flagged(spark, sf_dir, pages)
     d = pred.select("id_a", "id_b").withColumn("ind", F.lit(1))
-    s = snm.withColumn("ins", F.lit(1))
-    k = mk.withColumn("inm", F.lit(1))
+    k = flagged.select("id_a", "id_b", F.col("s1").alias("ins"),
+                       F.lit(1).alias("inm"))
     t = _lk_truth(pages).select("id_a", "id_b",
                                 F.col("it").alias("intr"))
-    m = (d.join(s, ["id_a", "id_b"], "full_outer")
-         .join(k, ["id_a", "id_b"], "full_outer")
+    m = (d.join(k, ["id_a", "id_b"], "full_outer")
          .join(t, ["id_a", "id_b"], "full_outer")
          .select(F.coalesce("ind", F.lit(0)).alias("ind"),
                  F.coalesce("ins", F.lit(0)).alias("ins"),
@@ -4828,17 +4834,18 @@ truth AS (SELECT a.page_id AS id_a, b.page_id AS id_b
           FROM pages a JOIN pages b
             ON a.page_id // 10 = b.page_id // 10
            AND a.page_id < b.page_id),
-m AS (SELECT coalesce(d.f, 0) AS ind, coalesce(s.f, 0) AS ins,
+snmf AS (SELECT id_a, id_b, max(s1) AS s1 FROM (
+             SELECT id_a, id_b, 1 AS s1 FROM snm1
+             UNION ALL SELECT id_a, id_b, 0 FROM snm2)
+         GROUP BY id_a, id_b),
+m AS (SELECT coalesce(d.f, 0) AS ind, coalesce(k.s1, 0) AS ins,
              coalesce(k.f, 0) AS inm, coalesce(t.f, 0) AS intr
       FROM (SELECT id_a, id_b, 1 AS f FROM pred) d
-      FULL OUTER JOIN (SELECT id_a, id_b, 1 AS f FROM snm1) s
-        ON d.id_a = s.id_a AND d.id_b = s.id_b
-      FULL OUTER JOIN (SELECT id_a, id_b, 1 AS f FROM snmu) k
-        ON coalesce(d.id_a, s.id_a) = k.id_a
-       AND coalesce(d.id_b, s.id_b) = k.id_b
+      FULL OUTER JOIN (SELECT id_a, id_b, s1, 1 AS f FROM snmf) k
+        ON d.id_a = k.id_a AND d.id_b = k.id_b
       FULL OUTER JOIN (SELECT id_a, id_b, 1 AS f FROM truth) t
-        ON coalesce(d.id_a, s.id_a, k.id_a) = t.id_a
-       AND coalesce(d.id_b, s.id_b, k.id_b) = t.id_b)
+        ON coalesce(d.id_a, k.id_a) = t.id_a
+       AND coalesce(d.id_b, k.id_b) = t.id_b)
 SELECT CAST(sum(ind) AS BIGINT) AS n_delete,
        CAST(sum(ins) AS BIGINT) AS n_snm,
        CAST(sum(inm) AS BIGINT) AS n_snm_mk,
