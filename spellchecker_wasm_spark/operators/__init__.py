@@ -1,5 +1,6 @@
 from .blocking import build_blocks, cap_hot_blocks
-from .pairs import candidate_pairs, candidate_pairs_prefix
+from .pairs import (candidate_pairs, candidate_pairs_prefix,
+                    weighted_candidate_pairs)
 from .scoring import (distance_from_similarity, osa_similarity,
                       osa_similarity2, score_pairs, score_pairs_arrow,
                       similarity_from_distance)
@@ -17,6 +18,7 @@ __all__ = [
     "cap_hot_blocks",
     "candidate_pairs",
     "candidate_pairs_prefix",
+    "weighted_candidate_pairs",
     "score_pairs",
     "score_pairs_arrow",
     "osa_similarity",

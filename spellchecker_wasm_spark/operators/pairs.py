@@ -142,6 +142,56 @@ def candidate_pairs(blocks: DataFrame, id_col: str = "term",
     return attach_pair_terms(ids, dim)
 
 
+def weighted_candidate_pairs(blocks: DataFrame, id_col: str = "id",
+                             max_len_diff: int = 2,
+                             len_col: str | None = None,
+                             self_join_hint: str | None = "shuffle_hash",
+                             min_weight: int = 1) -> DataFrame:
+    """Meta-blocking edge weighting (the common-blocks scheme of
+    Papadakis et al., "Meta-Blocking: Taking Entity Resolution to the
+    Next Level", TKDE 2014): the self-join's per-shared-key emits are
+    AGGREGATED instead of deduplicated, so each surviving pair carries
+    ``weight`` = |shared block keys| — the signal redundancy-positive
+    blocking (delete neighborhoods, q-grams, multi-pass SNM) provides
+    for free.  Pairs below ``min_weight`` are pruned BEFORE
+    verification, cutting the expensive scoring stage's input.  The
+    trade is real, not free: most false candidates share exactly one
+    key, but so do boundary-distance TRUE matches (measured on the
+    labeled linkage fixture at sf0.01: weight>=2 removes 98.8% of
+    false pairs and 20.4% of true pairs — queries.meta_blocking pins
+    the distribution) — so weight is best used to ROUTE pairs between
+    verifiers or to prune under an explicit recall budget.
+
+    blocks(id, block_key[, len]) → (id_a, id_b, weight) with
+    id_a < id_b, weight >= min_weight.
+
+    Scale shape vs candidate_pairs: identical slim self-join (the
+    (id:long, key, len:int) projection, same shuffle_hash hint), but the
+    dedup ``distinct()`` becomes a groupBy count with map-side partial
+    aggregation — the exchange moves the same 16-byte id pairs plus one
+    long, and the weight filter then shrinks the verification join's
+    probe side by the pruned fraction.  Weight equals the count of
+    shared keys exactly when each side's per-id key set is distinct
+    (delete_key_hash_explode and the oracle's blocks CTE both
+    guarantee this).  ``len_col``: precomputed term-length int column
+    for the cheap length-window prefilter; omit to skip the filter."""
+    cols = ["block_key"] + ([len_col] if len_col else [])
+    slim = blocks.select(F.col(id_col).alias("id"), *cols)
+    a = slim.alias("a")
+    b = (slim.hint(self_join_hint) if self_join_hint else slim).alias("b")
+    cond = ((F.col("a.block_key") == F.col("b.block_key"))
+            & (F.col("a.id") < F.col("b.id")))
+    if len_col:
+        cond = cond & (F.abs(F.col(f"a.{len_col}") - F.col(f"b.{len_col}"))
+                       <= max_len_diff)
+    w = (a.join(b, cond)
+         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+         .agg(F.count(F.lit(1)).alias("weight")))
+    if min_weight > 1:
+        w = w.where(F.col("weight") >= min_weight)
+    return w
+
+
 def attach_pair_terms(ids: DataFrame, dim: DataFrame) -> DataFrame:
     """(id_a, id_b) + id-unique dim(id, term) → (id_a, id_b, term_a,
     term_b) via two broadcastable dimension joins.  Split out of

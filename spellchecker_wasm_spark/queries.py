@@ -4861,6 +4861,140 @@ FROM m
 """)
 
 
+def _q_meta_blocking(spark, sf_dir):
+    """Meta-blocking (Papadakis et al., TKDE 2014) over the delete-key
+    block graph: every co-blocked pair with its common-blocks-scheme
+    weight (|shared block keys|) and the WEP kept flag at min_weight=2 —
+    the block-graph pruning a redundancy-positive blocking scheme runs
+    BEFORE pairwise verification at 10^12 docs.  The fixture pins the
+    REAL trade-off, not a free lunch: at sf0.01 the weight>=2 cut
+    removes 513 of 519 false candidates (precision 0.920 → 0.999) but
+    also 1221 of 6000 true pairs (recall 1.0 → 0.796), because
+    boundary-distance matches (a deletion inside the prefix window)
+    share exactly ONE delete key — so production uses the weight to
+    ROUTE (cheap verifier for weight-1, skip only provable junk), not
+    to blind-drop, and the catalog row exposes the full distribution
+    that decision needs.
+
+    Plan shape (operators/pairs.weighted_candidate_pairs): the same slim
+    (id:long, key:long, len:int) shuffle-hash self-join as
+    candidate_pairs, but the pair dedup becomes a combine-reduced
+    groupBy count — the exchange moves identical 16-byte pairs plus one
+    partial count, and weight lands without a second pass.  The kept
+    flag stays a column (not a filter) so the catalog row pins the FULL
+    weight distribution cross-engine; production prunes with
+    min_weight=2 via the operator parameter.
+
+    Cross-engine identity: Spark counts shared 64-bit key HASHES
+    (functions/delete_hash_expr), the oracle counts shared delete-variant
+    STRINGS — equal pairwise because the hash is injective on the
+    per-term variant set (bijection property-tested in
+    tests/test_delete_hash_expr.py) and both sides dedup per-term keys
+    before joining."""
+    from .functions.delete_hash_expr import delete_key_hash_explode
+    from .operators.pairs import weighted_candidate_pairs
+
+    pages = _lk_pages(spark, sf_dir)
+    pref = pages.select("page_id", F.length("title").alias("tl"),
+                        F.substring("title", 1, 7).alias("prefix"))
+    pb = delete_key_hash_explode(pref, "prefix",
+                                 keep_cols=["page_id", "tl"])
+    w = weighted_candidate_pairs(pb, id_col="page_id", len_col="tl")
+    return w.select(F.col("id_a").cast("bigint").alias("id_a"),
+                    F.col("id_b").cast("bigint").alias("id_b"),
+                    F.col("weight").cast("bigint").alias("weight"),
+                    F.when(F.col("weight") >= 2, 1).otherwise(0)
+                    .cast("int").alias("kept"))
+
+
+_O_META_BLOCKING = ("WITH RECURSIVE" + _LK_SQL_PAGES_BLOCKS + """,
+pb AS (SELECT p.page_id, b.block_key, length(p.title) AS tl
+       FROM pages p JOIN blocks b ON p.title = b.term),
+w AS (SELECT a.page_id AS id_a, b.page_id AS id_b, count(*) AS weight
+      FROM pb a JOIN pb b
+        ON a.block_key = b.block_key AND a.page_id < b.page_id
+       AND abs(a.tl - b.tl) <= 2
+      GROUP BY a.page_id, b.page_id)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       CAST(weight AS BIGINT) AS weight,
+       CAST(CASE WHEN weight >= 2 THEN 1 ELSE 0 END AS INTEGER) AS kept
+FROM w
+""")
+
+
+def _q_qgram_blocking(spark, sf_dir):
+    """Character q-gram blocking (q=3), the classic token-free blocking
+    family (Baxter/Christen's febrl lineage), head-to-head against
+    truth on the labeled fixture: pages sharing any 3-gram become
+    candidates, and the one-row summary reports exact candidate volume
+    and recall — the third strategy datapoint next to blocking_compare's
+    delete-key and SNM rows.  Every count is an exact BIGINT; recall is
+    one division of exact integers.
+
+    Scale shape: the gram explode is ~6 rows/page (vs ~29 delete keys),
+    the self-join shuffles slim (id:long, gram:string(3), len:int) rows
+    once, pair dedup exchanges 16-byte id pairs, and the truth probe is
+    the usual (long, long) full-outer.  At web scale q-gram blocks are
+    Zipf-hot (every page with 'the' in a token collides) — production
+    caps hot grams exactly like hot_keys_vocab caps delete keys; the
+    uniform-hash slugs here have no hot grams, so the cap lever lives
+    with the delete-key path where the fixture exercises it."""
+    pages = _lk_pages(spark, sf_dir)
+    g = pages.select(
+        "page_id", F.length("title").alias("tl"),
+        F.explode(F.array_distinct(F.expr(
+            "transform(sequence(1, length(title) - 2), "
+            "i -> substring(title, i, 3))"))).alias("gram"))
+    a, b = g.alias("a"), g.alias("b")
+    cand = (a.join(b, (F.col("a.gram") == F.col("b.gram"))
+                   & (F.col("a.page_id") < F.col("b.page_id"))
+                   & (F.abs(F.col("a.tl") - F.col("b.tl")) <= 2))
+            .select(F.col("a.page_id").alias("id_a"),
+                    F.col("b.page_id").alias("id_b"))
+            .distinct())
+    truth = _lk_truth(pages)
+    m = (cand.withColumn("ic", F.lit(1))
+         .join(truth, ["id_a", "id_b"], "full_outer"))
+    return m.agg(
+        F.sum(F.coalesce("ic", F.lit(0))).cast("bigint").alias("n_cand"),
+        F.sum(F.when(F.col("ic").isNotNull() & F.col("it").isNotNull(), 1)
+              .otherwise(0)).cast("bigint").alias("n_tp"),
+        F.sum(F.coalesce("it", F.lit(0))).cast("bigint").alias("n_truth")
+    ).select("n_cand", "n_tp", "n_truth",
+             (F.col("n_tp") / F.col("n_truth")).alias("recall"))
+
+
+_O_QGRAM_BLOCKING = ("WITH " + _LK_SQL_PAGES + """,
+qg AS (SELECT DISTINCT page_id, length(title) AS tl, gram
+       FROM (SELECT page_id, title,
+                    unnest(list_transform(range(1, length(title) - 1),
+                           i -> substr(title, CAST(i AS INTEGER), 3)))
+                        AS gram
+             FROM pages)),
+cand AS (SELECT DISTINCT a.page_id AS id_a, b.page_id AS id_b
+         FROM qg a JOIN qg b
+           ON a.gram = b.gram AND a.page_id < b.page_id
+          AND abs(a.tl - b.tl) <= 2),
+truth AS (SELECT a.page_id AS id_a, b.page_id AS id_b
+          FROM pages a JOIN pages b
+            ON a.page_id // 10 = b.page_id // 10
+           AND a.page_id < b.page_id),
+m AS (SELECT c.id_a AS ca, t.id_a AS ta
+      FROM cand c FULL OUTER JOIN truth t
+        ON c.id_a = t.id_a AND c.id_b = t.id_b)
+SELECT CAST(sum(CASE WHEN ca IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_cand,
+       CAST(sum(CASE WHEN ca IS NOT NULL AND ta IS NOT NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_tp,
+       CAST(sum(CASE WHEN ta IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_truth,
+       CAST(sum(CASE WHEN ca IS NOT NULL AND ta IS NOT NULL
+                THEN 1 ELSE 0 END) AS DOUBLE)
+           / sum(CASE WHEN ta IS NOT NULL THEN 1 ELSE 0 END) AS recall
+FROM m
+""")
+
+
 def _q_recrawl_dedup(spark, sf_dir):
     """URL-level recrawl dedup: keep the NEWEST capture per canonical
     URL — the capture-dedup pass a Common-Crawl-style corpus runs
@@ -4929,6 +5063,8 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     "snm_pairs": (_q_snm_pairs, _o_snm_pairs()),
     "snm_multikey_pairs": (_q_snm_multikey_pairs, _O_SNM_MULTIKEY),
     "blocking_compare": (_q_blocking_compare, _O_BLOCKING_COMPARE),
+    "meta_blocking": (_q_meta_blocking, _O_META_BLOCKING),
+    "qgram_blocking": (_q_qgram_blocking, _O_QGRAM_BLOCKING),
     "recrawl_dedup": (_q_recrawl_dedup, _O_RECRAWL_DEDUP),
     "scored_pairs_jaro": (_q_scored_pairs_jaro, _O_SCORED_JARO),
     "pii_scrub": (_q_pii_scrub, _O_PII_SCRUB),

@@ -394,3 +394,34 @@ def test_plan_construction_is_action_free(spark):
         sc.setJobGroup("", "")
     # the plans still execute correctly once acted on
     assert all(df.count() >= 0 for df in dfs)
+
+
+def test_weighted_candidate_pairs_counts_shared_keys(spark):
+    """CBS weight = |shared keys| per pair; min_weight prunes; the
+    length window applies only when len_col is given."""
+    from spellchecker_wasm_spark.operators import weighted_candidate_pairs
+
+    rows = [  # id -> key set: 1:{k1,k2,k3} 2:{k1,k2} 3:{k3} 4:{k9}
+        Row(id=1, block_key="k1", tl=5), Row(id=1, block_key="k2", tl=5),
+        Row(id=1, block_key="k3", tl=5),
+        Row(id=2, block_key="k1", tl=6), Row(id=2, block_key="k2", tl=6),
+        Row(id=3, block_key="k3", tl=9),
+        Row(id=4, block_key="k9", tl=5),
+    ]
+    blocks = spark.createDataFrame(rows)
+
+    got = {(r.id_a, r.id_b): r.weight
+           for r in weighted_candidate_pairs(blocks, id_col="id").collect()}
+    assert got == {(1, 2): 2, (1, 3): 1}
+
+    # len window (|5-9| > 2) drops the (1, 3) pair
+    got = {(r.id_a, r.id_b): r.weight
+           for r in weighted_candidate_pairs(
+               blocks, id_col="id", len_col="tl").collect()}
+    assert got == {(1, 2): 2}
+
+    # min_weight prunes below-threshold pairs
+    got = {(r.id_a, r.id_b): r.weight
+           for r in weighted_candidate_pairs(
+               blocks, id_col="id", min_weight=2).collect()}
+    assert got == {(1, 2): 2}
