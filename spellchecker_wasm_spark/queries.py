@@ -585,6 +585,78 @@ JOIN sizes nb ON nb.doc_id = doc_b
 WHERE c * 1.0 / (na.n + nb.n - c) >= 0.2
 """
 
+_DUP_SPAN_W = 5  # tokens per window, both engines
+
+
+def _q_dup_ngram_spans(spark, sf_dir):
+    """ExactSubstr-style duplicated-span accounting (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better", ACL
+    2022): per document, how many of its W-token windows occur >= 2
+    times ANYWHERE in the corpus (including elsewhere in the same doc),
+    and the duplicated fraction — the span-level signal the suffix-array
+    pass produces, which pairwise near-dup scoring (dedup_ngram_jaccard)
+    cannot see because a verbatim quoted paragraph inside two otherwise
+    different documents never lifts whole-doc Jaccard over threshold.
+
+    Plan shape, two-level counting so nothing quadratic exists and the
+    explode subtree is computed exactly once: windows explode per doc
+    (~|tokens| rows), one groupBy (win, doc) with map-side combine
+    collapses within-doc repeats, then a window-sum partitioned by win
+    attaches the corpus occurrence count to each (win, doc) row
+    in-place — no join, no second traversal of the explode — and one
+    groupBy (doc) emits per-doc duplicated counts; per-doc window
+    totals come straight from token counts (size - W + 1), costing no
+    shuffle.  The catalog row groups on the literal
+    window STRING so both engines compare exactly; at 10^12 docs the
+    windows would carry as xxhash64 longs through every exchange
+    (collision-only divergence, same narrowing the blocking stage
+    uses), and the suffix-array equivalent of the >= 2 predicate stays
+    this same groupBy."""
+    from pyspark.sql import Window
+
+    W = _DUP_SPAN_W
+    docs = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    arr = F.expr("filter(split(text, ' '), x -> x <> '')")
+    t = docs.select("doc_id", arr.alias("l")).where(F.size("l") >= W)
+    w = t.select("doc_id", F.explode(F.expr(
+        f"transform(sequence(1, size(l) - {W - 1}), "
+        f"i -> array_join(slice(l, i, {W}), ' '))")).alias("win"))
+    wd = w.groupBy("win", "doc_id").agg(F.count(F.lit(1)).alias("k"))
+    dup = (wd.withColumn(
+               "tot", F.sum("k").over(Window.partitionBy("win")))
+           .where(F.col("tot") >= 2)
+           .groupBy("doc_id").agg(F.sum("k").alias("n_dup")))
+    base = t.select("doc_id", (F.size("l") - W + 1).alias("n_windows"))
+    return (base.join(dup, "doc_id", "left")
+            .select("doc_id",
+                    F.col("n_windows").cast("bigint").alias("n_windows"),
+                    F.coalesce("n_dup", F.lit(0)).cast("bigint")
+                    .alias("n_dup"),
+                    (F.coalesce("n_dup", F.lit(0)) / F.col("n_windows"))
+                    .alias("dup_frac")))
+
+
+_O_DUP_NGRAM_SPANS = f"""
+WITH arrs AS (SELECT doc_id,
+                     list_filter(string_split(text, ' '), x -> x <> '') AS l
+              FROM documents WHERE text IS NOT NULL),
+pos AS (SELECT unnest(range(1, (SELECT coalesce(max(len(l)), 1) + 1
+                                FROM arrs))) AS i),
+w AS (SELECT doc_id, array_to_string(l[i:i + {_DUP_SPAN_W - 1}], ' ') AS win
+      FROM arrs, pos WHERE pos.i + {_DUP_SPAN_W - 1} <= len(l)),
+wd AS (SELECT win, doc_id, count(*) AS k FROM w GROUP BY win, doc_id),
+wtot AS (SELECT win, sum(k) AS tot FROM wd GROUP BY win),
+dup AS (SELECT doc_id, sum(k) AS n_dup
+        FROM wd JOIN wtot USING (win) WHERE tot >= 2 GROUP BY doc_id),
+base AS (SELECT doc_id, len(l) - {_DUP_SPAN_W - 1} AS n_windows
+         FROM arrs WHERE len(l) >= {_DUP_SPAN_W})
+SELECT base.doc_id, CAST(n_windows AS BIGINT) AS n_windows,
+       CAST(coalesce(n_dup, 0) AS BIGINT) AS n_dup,
+       CAST(coalesce(n_dup, 0) AS DOUBLE) / n_windows AS dup_frac
+FROM base LEFT JOIN dup ON base.doc_id = dup.doc_id
+"""
+
+
 _N_MINHASH = 8
 _MINHASH_BUCKET_CAP = 2  # hot band-bucket cap, applied on BOTH engines
 
@@ -5094,6 +5166,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     "dictionary_export": (_q_dictionary_export, _O_DICTIONARY_EXPORT),
     "dedup_exact": (_q_dedup_exact, _O_DEDUP_EXACT),
     "dedup_ngram_jaccard": (_q_dedup_ngram_jaccard, _O_NGRAM_JACCARD),
+    "dup_ngram_spans": (_q_dup_ngram_spans, _O_DUP_NGRAM_SPANS),
     "minhash_signatures": (_q_minhash_signatures, _O_MINHASH_SIGNATURES),
     "minhash_lsh_dups": (_q_minhash_lsh_dups, _O_MINHASH_LSH),
     "simhash": (_q_simhash, _O_SIMHASH),
