@@ -657,6 +657,92 @@ FROM base LEFT JOIN dup ON base.doc_id = dup.doc_id
 """
 
 
+def _q_dup_span_removal(spark, sf_dir):
+    """The ExactSubstr REMOVAL pass (Lee et al. 2022 §4.1): emit each
+    document's text with every corpus-duplicated W-token span excised —
+    the transform dup_ngram_spans only accounts for.  A token survives
+    iff NO duplicated window covers its position.  Output text is the
+    surviving tokens re-joined with single spaces (whitespace-
+    normalized; the tokenizer is the same split both engines use).
+
+    Plan shape, all linear: one explode keeps each window's START
+    position, a count-window partitioned by win marks corpus-duplicated
+    occurrences in place (no join back, explode computed once), each
+    duplicated start explodes to its W covered positions, and a
+    LEFT ANTI join on (doc_id, pos) — duplicate coverage rows are
+    harmless to anti-join semantics, so no distinct — filters the
+    per-token rows.  Reassembly sorts each doc's surviving (pos, term)
+    structs inside the aggregate (sort_array over collect_list — order
+    is imposed by value, never by arrival, so the result is
+    deterministic under any task schedule).  Docs shorter than W have
+    no windows and pass through whitespace-normalized.
+
+    Scale: coverage is <= W rows per duplicated window occurrence
+    (bounded fan-out, no quadratic term); the anti join shuffles
+    (long, int) keys; the per-doc collect_list is bounded by document
+    length — the same per-doc bound doc_chunks already carries."""
+    from pyspark.sql import Window
+
+    W = _DUP_SPAN_W
+    docs = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    arr = F.expr("filter(split(text, ' '), x -> x <> '')")
+    t = docs.select("doc_id", arr.alias("l"))
+    w = (t.where(F.size("l") >= W)
+         .select("doc_id", F.posexplode(F.expr(
+             f"transform(sequence(1, size(l) - {W - 1}), "
+             f"i -> array_join(slice(l, i, {W}), ' '))"))
+             .alias("p0", "win"))
+         .select("doc_id", (F.col("p0") + 1).alias("s"), "win"))
+    dup = (w.withColumn("tot", F.count(F.lit(1))
+                        .over(Window.partitionBy("win")))
+           .where(F.col("tot") >= 2))
+    cov = dup.select(
+        "doc_id", F.explode(F.expr(f"sequence(s, s + {W - 1})")).alias("pos"))
+    toks = (t.select("doc_id", F.posexplode("l").alias("p0", "term"))
+            .select("doc_id", (F.col("p0") + 1).alias("pos"), "term"))
+    kept = toks.join(cov, ["doc_id", "pos"], "left_anti")
+    agg = (kept.groupBy("doc_id")
+           .agg(F.count(F.lit(1)).alias("n_kept"),
+                F.array_join(F.expr(
+                    "transform(sort_array(collect_list(struct(pos, term))),"
+                    " x -> x.term)"), " ").alias("clean_text")))
+    base = t.select("doc_id", F.size("l").alias("n_tokens"))
+    return (base.join(agg, "doc_id", "left")
+            .select("doc_id",
+                    F.col("n_tokens").cast("bigint").alias("n_tokens"),
+                    F.coalesce("n_kept", F.lit(0)).cast("bigint")
+                    .alias("n_kept"),
+                    F.coalesce("clean_text", F.lit("")).alias("clean_text")))
+
+
+_O_DUP_SPAN_REMOVAL = f"""
+WITH arrs AS (SELECT doc_id,
+                     list_filter(string_split(text, ' '), x -> x <> '') AS l
+              FROM documents WHERE text IS NOT NULL),
+pos AS (SELECT unnest(range(1, (SELECT coalesce(max(len(l)), 1) + 1
+                                FROM arrs))) AS i),
+w AS (SELECT doc_id, i AS s,
+             array_to_string(l[i:i + {_DUP_SPAN_W - 1}], ' ') AS win
+      FROM arrs, pos WHERE pos.i + {_DUP_SPAN_W - 1} <= len(l)),
+wtot AS (SELECT win, count(*) AS tot FROM w GROUP BY win),
+cov AS (SELECT doc_id, s + r.range AS p
+        FROM w JOIN wtot USING (win), range(0, {_DUP_SPAN_W}) r
+        WHERE tot >= 2),
+toks AS (SELECT doc_id, i AS p, l[i] AS term
+         FROM arrs, pos WHERE pos.i <= len(l)),
+kept AS (SELECT doc_id, p, term FROM toks
+         ANTI JOIN cov USING (doc_id, p)),
+agg AS (SELECT doc_id, count(*) AS n_kept,
+               string_agg(term, ' ' ORDER BY p) AS clean_text
+        FROM kept GROUP BY doc_id),
+base AS (SELECT doc_id, len(l) AS n_tokens FROM arrs)
+SELECT base.doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
+       coalesce(clean_text, '') AS clean_text
+FROM base LEFT JOIN agg ON base.doc_id = agg.doc_id
+"""
+
+
 _N_MINHASH = 8
 _MINHASH_BUCKET_CAP = 2  # hot band-bucket cap, applied on BOTH engines
 
@@ -5167,6 +5253,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     "dedup_exact": (_q_dedup_exact, _O_DEDUP_EXACT),
     "dedup_ngram_jaccard": (_q_dedup_ngram_jaccard, _O_NGRAM_JACCARD),
     "dup_ngram_spans": (_q_dup_ngram_spans, _O_DUP_NGRAM_SPANS),
+    "dup_span_removal": (_q_dup_span_removal, _O_DUP_SPAN_REMOVAL),
     "minhash_signatures": (_q_minhash_signatures, _O_MINHASH_SIGNATURES),
     "minhash_lsh_dups": (_q_minhash_lsh_dups, _O_MINHASH_LSH),
     "simhash": (_q_simhash, _O_SIMHASH),
