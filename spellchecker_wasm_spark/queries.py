@@ -657,6 +657,64 @@ FROM base LEFT JOIN dup ON base.doc_id = dup.doc_id
 """
 
 
+_DUP_SPAN_PAIR_CAP = 3  # docs-per-window cap, mirrored in the oracle
+
+
+def _q_dup_span_pairs(spark, sf_dir):
+    """Span-level provenance: which document PAIRS share a corpus-
+    duplicated W-token window, and how many distinct windows they
+    share — the quotation/attribution graph over the ExactSubstr signal
+    (dup_ngram_spans says "this doc contains duplicated spans"; this
+    says "with WHOM").  Within-doc repeats are collapsed first so a
+    pair's n_shared counts distinct shared windows, not occurrence
+    products.
+
+    Plan shape is the capped bucket-collect the LSH dedup family uses:
+    distinct (win, doc) → groupBy(win) collect sorted doc lists →
+    windows shared by more than _DUP_SPAN_PAIR_CAP docs emit NO pairs
+    (boilerplate windows are the hot-bucket case; the cap bites at
+    sf0.001 where one window spans 4 docs, and the oracle replicates it
+    via HAVING) → pair explode inside the bucket (<= cap²/2 per
+    window, never quadratic in the corpus) → one groupBy(pair) count.
+    doc_a < doc_b by sort_array construction."""
+    W = _DUP_SPAN_W
+    docs = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    arr = F.expr("filter(split(text, ' '), x -> x <> '')")
+    t = docs.select("doc_id", arr.alias("l")).where(F.size("l") >= W)
+    w = t.select("doc_id", F.explode(F.expr(
+        f"transform(sequence(1, size(l) - {W - 1}), "
+        f"i -> array_join(slice(l, i, {W}), ' '))")).alias("win"))
+    buckets = (w.groupBy("win")
+               .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
+               .where(F.size("ids").between(2, _DUP_SPAN_PAIR_CAP)))
+    pairs = (buckets.select(F.explode(F.expr(
+        "flatten(transform(ids, (x, i) -> transform("
+        "slice(ids, i + 2, size(ids) - i - 1), "
+        "y -> struct(x AS doc_a, y AS doc_b))))")).alias("p"))
+        .select("p.doc_a", "p.doc_b"))
+    return (pairs.groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared")))
+
+
+_O_DUP_SPAN_PAIRS = f"""
+WITH arrs AS (SELECT doc_id,
+                     list_filter(string_split(text, ' '), x -> x <> '') AS l
+              FROM documents WHERE text IS NOT NULL),
+pos AS (SELECT unnest(range(1, (SELECT coalesce(max(len(l)), 1) + 1
+                                FROM arrs))) AS i),
+w AS (SELECT DISTINCT doc_id,
+             array_to_string(l[i:i + {_DUP_SPAN_W - 1}], ' ') AS win
+      FROM arrs, pos WHERE pos.i + {_DUP_SPAN_W - 1} <= len(l)),
+ok AS (SELECT win FROM w GROUP BY win
+       HAVING count(*) BETWEEN 2 AND {_DUP_SPAN_PAIR_CAP})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM w a JOIN w b ON a.win = b.win AND a.doc_id < b.doc_id
+WHERE a.win IN (SELECT win FROM ok)
+GROUP BY a.doc_id, b.doc_id
+"""
+
+
 def _q_dup_span_removal(spark, sf_dir):
     """The ExactSubstr REMOVAL pass (Lee et al. 2022 §4.1): emit each
     document's text with every corpus-duplicated W-token span excised —
@@ -5349,6 +5407,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     "dedup_exact": (_q_dedup_exact, _O_DEDUP_EXACT),
     "dedup_ngram_jaccard": (_q_dedup_ngram_jaccard, _O_NGRAM_JACCARD),
     "dup_ngram_spans": (_q_dup_ngram_spans, _O_DUP_NGRAM_SPANS),
+    "dup_span_pairs": (_q_dup_span_pairs, _O_DUP_SPAN_PAIRS),
     "dup_span_removal": (_q_dup_span_removal, _O_DUP_SPAN_REMOVAL),
     "minhash_signatures": (_q_minhash_signatures, _O_MINHASH_SIGNATURES),
     "minhash_lsh_dups": (_q_minhash_lsh_dups, _O_MINHASH_LSH),
