@@ -4327,6 +4327,64 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+_BUCKETED_N = 8  # bucket count for both sides of the co-located join
+
+
+def _q_sink_bucketed_join(spark, sf_dir):
+    """Bucketed tables + the zero-exchange co-located join — the Spark
+    storage feature the 100-TB design leans on hardest: two fact tables
+    (clicks, purchases) too large to broadcast are each written ONCE
+    with bucketBy(N, user_id).sortBy(user_id), and every later join on
+    user_id runs with NO shuffle on either side (the physical plan has
+    no Exchange above the scans; tests/test_bucketed_join.py pins
+    that).  The query itself is click->purchase attribution: per user,
+    how many (click, purchase) pairs have the click at or before the
+    purchase — a genuine row-level fact-fact join (bounded per user, so
+    never corpus-quadratic), not something a pre-aggregation could
+    replace.
+
+    Scale shape: each side is written once (one shuffle each at write
+    time, amortized over every downstream join), read back
+    bucket-aligned, and joined per-bucket; at 10^12 events the bucket
+    count scales with the cluster and the join stays exchange-free.
+    The oracle recomputes the same attribution from the raw parquet, so
+    a green row proves the bucketed sink round-trip loses nothing AND
+    the co-located plan changes no values."""
+    import tempfile
+    import uuid
+
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("cts"))
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts"))
+    tag = uuid.uuid4().hex[:8]
+    base = tempfile.mkdtemp(prefix="bucketed_sink_")
+    names = []
+    for nm, df in (("clicks", clicks), ("purch", purch)):
+        tbl = f"bj_{nm}_{tag}"
+        (df.write.mode("overwrite")
+         .bucketBy(_BUCKETED_N, "user_id").sortBy("user_id")
+         .option("path", f"{base}/{nm}").saveAsTable(tbl))
+        names.append(tbl)
+    c, p = spark.table(names[0]), spark.table(names[1])
+    return (c.join(p, "user_id")
+            .where(F.col("cts") <= F.col("pts"))
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_attr")))
+
+
+_O_SINK_BUCKETED_JOIN = """
+WITH c AS (SELECT user_id, ts AS cts FROM events
+           WHERE event_type = 'click'),
+p AS (SELECT user_id, ts AS pts FROM events
+      WHERE event_type = 'purchase')
+SELECT c.user_id, CAST(count(*) AS BIGINT) AS n_attr
+FROM c JOIN p ON c.user_id = p.user_id AND c.cts <= p.pts
+GROUP BY c.user_id
+"""
+
+
 def _q_source_csv_roundtrip(spark, sf_dir):
     """Text-format breadth: round-trip customers through CSV with an
     EXPLICIT schema on both sides (schema-on-read without inference —
@@ -5383,6 +5441,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     "html_extract": (_q_html_extract, _O_HTML_EXTRACT),
     "blocking_stats": (_q_blocking_stats, _O_BLOCKING_STATS),
     "sink_orc_roundtrip": (_q_sink_orc_roundtrip, _O_SINK_ORC_ROUNDTRIP),
+    "sink_bucketed_join": (_q_sink_bucketed_join, _O_SINK_BUCKETED_JOIN),
     "checkpoint_resume": (_q_checkpoint_resume, _O_CHECKPOINT_RESUME),
     "source_csv_roundtrip": (_q_source_csv_roundtrip,
                              _O_SOURCE_CSV_ROUNDTRIP),
