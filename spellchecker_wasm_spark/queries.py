@@ -2023,6 +2023,41 @@ FROM asg
 """
 
 
+def _q_leakage_safe_split(spark, sf_dir):
+    """Dedup-aware train/val/test split: the split decision hashes the
+    near-dup CLUSTER id, not the document id, so two near-duplicate
+    documents can never straddle a split boundary — the
+    train/test-contamination guard a real pre-training corpus build
+    runs AFTER near-dup clustering (splitting by doc_id leaks every
+    near-dup family across splits; Lee et al. 2022 measure exactly this
+    inflation).  Split = Knuth residue of cluster_id over 10 buckets:
+    0-7 train, 8 val, 9 test — deterministic, engine-portable integer
+    arithmetic (same residue family sample_stratified pins).
+
+    Scale shape: everything rides dedup_clusters' plan (bucket-capped
+    pair volume, large-star/small-star CC); the split itself is a pure
+    projection — zero additional shuffles."""
+    cc = _q_dedup_clusters(spark, sf_dir)
+    bucket = F.pmod(F.col("cluster_id") * F.lit(2654435761), F.lit(10))
+    return cc.select(
+        "doc_id", "cluster_id",
+        F.when(bucket <= 7, "train").when(bucket == 8, "val")
+        .otherwise("test").alias("split"))
+
+
+_O_LEAKAGE_SAFE_SPLIT = _O_DEDUP_CLUSTERS.replace(
+    "SELECT doc_id, cluster_id,\n"
+    "       CAST(doc_id = cluster_id AS INTEGER) AS is_canonical\n"
+    "FROM asg",
+    """SELECT doc_id, cluster_id,
+       CASE WHEN ((cluster_id * 2654435761) % 10 + 10) % 10 <= 7
+            THEN 'train'
+            WHEN ((cluster_id * 2654435761) % 10 + 10) % 10 = 8
+            THEN 'val' ELSE 'test' END AS split
+FROM asg""")
+assert "is_canonical" not in _O_LEAKAGE_SAFE_SPLIT  # replace() must fire
+
+
 # Per-language sampling percentages (stratified down-sampling of
 # over-represented languages — the mix-balancing step of a pre-training
 # corpus build).  The hash is an explicit Knuth multiplicative residue so
@@ -3290,6 +3325,61 @@ WHERE c_mktsegment = 'BUILDING'
 GROUP BY o_orderkey
 ORDER BY revenue_cents DESC, o_orderkey ASC
 LIMIT 10
+"""
+
+
+def _q_tpch_q5(spark, sf_dir):
+    """TPC-H Q5 shape (local-supplier volume) across all regions: the
+    6-table join (lineitem ⋈ orders ⋈ customer ⋈ supplier ⋈ nation ⋈
+    region) with the same-nation customer/supplier predicate and a
+    one-year date window — the relational-breadth stress for join
+    REORDERING: Catalyst must push the date filter below the joins,
+    pick build sides, and broadcast the two constant-size dims
+    (nation, region — broadcast explicitly; customer/supplier are
+    SF-scaled, so AQE decides those at runtime, exactly what it's for
+    at 100 TB).  Money stays in rounded integer cents end-to-end so
+    both engines agree bit-for-bit; the one float is a final division.
+
+    Scale shape: one shuffle each to line up lineitem⋈orders (orderkey)
+    and the result⋈customer (custkey); the same-nation predicate rides
+    the supplier join as a join condition (no post-filter explosion);
+    output is |nation| rows."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("date")))
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    nat = load(spark, sf_dir, "nation")
+    reg = load(spark, sf_dir, "region")
+    j = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+         .join(cust, orders.o_custkey == cust.c_custkey)
+         .join(supp, (li.l_suppkey == supp.s_suppkey)
+               & (cust.c_nationkey == supp.s_nationkey))
+         .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+         .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey))
+    return (j.groupBy("r_name", "n_name")
+            .agg(F.sum(F.round(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount")) * 100)
+                       .cast("long")).alias("revenue_cents"))
+            .select("r_name", "n_name",
+                    F.col("revenue_cents").cast("bigint")
+                    .alias("revenue_cents")))
+
+
+_O_TPCH_Q5 = """
+SELECT r_name, n_name,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE o_orderdate >= DATE '1996-01-01'
+  AND o_orderdate < DATE '1997-01-01'
+GROUP BY r_name, n_name
 """
 
 
@@ -5491,6 +5581,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     "quality_filter": (_q_quality_filter, _O_QUALITY_FILTER),
     "dedup_clusters": (_q_dedup_clusters, _O_DEDUP_CLUSTERS),
     "sample_stratified": (_q_sample_stratified, _O_SAMPLE_STRATIFIED),
+    "leakage_safe_split": (_q_leakage_safe_split, _O_LEAKAGE_SAFE_SPLIT),
     "decontaminate": (_q_decontaminate, _O_DECONTAMINATE),
     "rare_token_stats": (_q_rare_token_stats, _O_RARE_TOKEN_STATS),
     "token_budget_mix": (_q_token_budget_mix, _O_TOKEN_BUDGET_MIX),
@@ -5511,6 +5602,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     "tfidf_topk": (_q_tfidf_topk, _O_TFIDF_TOPK),
     "tpch_q1": (_q_tpch_q1, _O_TPCH_Q1),
     "tpch_q3": (_q_tpch_q3, _O_TPCH_Q3),
+    "tpch_q5": (_q_tpch_q5, _O_TPCH_Q5),
     "lineitem_rollup": (_q_lineitem_rollup, _O_LINEITEM_ROLLUP),
     "event_pivot": (_q_event_pivot, _O_EVENT_PIVOT),
     "event_sessions": (_q_event_sessions, _O_EVENT_SESSIONS),
