@@ -585,6 +585,80 @@ JOIN sizes nb ON nb.doc_id = doc_b
 WHERE c * 1.0 / (na.n + nb.n - c) >= 0.2
 """
 
+_TFIDF_COS_THRESHOLD = 0.25
+
+
+def _q_dedup_tfidf_cosine(spark, sf_dir):
+    """IDF-weighted cosine near-dup scoring — the weighted upgrade of
+    plain Jaccard (a shared RARE shingle means near-duplication; a
+    shared stock phrase means nothing), over the same one-scan inverted
+    index dedup_ngram_jaccard pioneered.  Weights are PURE INTEGERS so
+    both engines agree bit-for-bit: w(sh) = 1_000_000 div (df + 1) — a
+    reciprocal-df weight; cosine is scale-invariant, so the constant is
+    resolution, not semantics — and the only floats are one double
+    cast (dot <= ~10^14, exactly representable), two IEEE-correctly-
+    rounded sqrts, and one division, identical on any IEEE engine.
+    Both docs carry the SAME w for a shared shingle, so each shared
+    shingle contributes w² to the dot product.
+
+    Plan shape (same as the Jaccard row): df attaches via a count-
+    window on sh, per-doc squared norms via a sum-window on doc_id —
+    both BEFORE bucketing, so surviving pairs keep true norms — then
+    the capped bucket-collect emits in-bucket pairs and ONE aggregation
+    sums the dot: one scan, no joins, hot buckets dropped by the same
+    deterministic cap the oracle replicates via HAVING."""
+    from pyspark.sql import Window
+
+    sh = _shingles(spark, sf_dir)
+    w = sh.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("sh"))
+    ).withColumn("w", F.expr("div(1000000, df + 1)"))
+    wn = w.withColumn(
+        "n2", F.sum(F.col("w") * F.col("w"))
+        .over(Window.partitionBy("doc_id")))
+    buckets = (wn.groupBy("sh")
+               .agg(F.sort_array(
+                   F.collect_list(F.struct("doc_id", "w", "n2")))
+                   .alias("ids"))
+               .where(F.size("ids").between(2, _NGRAM_BUCKET_CAP)))
+    pairs = (buckets.select(F.explode(F.expr(
+        "flatten(transform(ids, (x, i) -> transform("
+        "slice(ids, i + 2, size(ids) - i - 1), "
+        "y -> struct(x.doc_id AS doc_a, y.doc_id AS doc_b, "
+        "x.w * y.w AS w2, x.n2 AS n2a, y.n2 AS n2b))))")).alias("p"))
+        .select("p.doc_a", "p.doc_b", "p.w2", "p.n2a", "p.n2b"))
+    return (pairs.groupBy("doc_a", "doc_b", "n2a", "n2b")
+            .agg(F.sum("w2").alias("dot"))
+            .select("doc_a", "doc_b",
+                    (F.col("dot").cast("double")
+                     / (F.sqrt("n2a") * F.sqrt("n2b"))).alias("cosine"))
+            .where(F.col("cosine") >= _TFIDF_COS_THRESHOLD))
+
+
+_O_TFIDF_COSINE = f"""
+WITH {_SQL_SHINGLES},
+dft AS (SELECT sh, count(*) AS df FROM sh GROUP BY sh),
+w AS (SELECT doc_id, sh.sh, 1000000 // (df + 1) AS w
+      FROM sh JOIN dft USING (sh)),
+n2 AS (SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS n2
+       FROM w GROUP BY doc_id),
+ok AS (SELECT sh FROM w GROUP BY sh
+       HAVING count(*) BETWEEN 2 AND {_NGRAM_BUCKET_CAP}),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(sum(a.w * b.w) AS BIGINT) AS dot
+          FROM w a JOIN w b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          WHERE a.sh IN (SELECT sh FROM ok)
+          GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       CAST(dot AS DOUBLE) / (sqrt(na.n2) * sqrt(nb.n2)) AS cosine
+FROM inter
+JOIN n2 na ON na.doc_id = doc_a
+JOIN n2 nb ON nb.doc_id = doc_b
+WHERE CAST(dot AS DOUBLE) / (sqrt(na.n2) * sqrt(nb.n2))
+      >= {_TFIDF_COS_THRESHOLD}
+"""
+
+
 _DUP_SPAN_W = 5  # tokens per window, both engines
 
 
@@ -5555,6 +5629,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     "dictionary_export": (_q_dictionary_export, _O_DICTIONARY_EXPORT),
     "dedup_exact": (_q_dedup_exact, _O_DEDUP_EXACT),
     "dedup_ngram_jaccard": (_q_dedup_ngram_jaccard, _O_NGRAM_JACCARD),
+    "dedup_tfidf_cosine": (_q_dedup_tfidf_cosine, _O_TFIDF_COSINE),
     "dup_ngram_spans": (_q_dup_ngram_spans, _O_DUP_NGRAM_SPANS),
     "dup_span_pairs": (_q_dup_span_pairs, _O_DUP_SPAN_PAIRS),
     "dup_span_removal": (_q_dup_span_removal, _O_DUP_SPAN_REMOVAL),
