@@ -585,6 +585,76 @@ JOIN sizes nb ON nb.doc_id = doc_b
 WHERE c * 1.0 / (na.n + nb.n - c) >= 0.2
 """
 
+def _q_graph_triangles(spark, sf_dir):
+    """Triangle census of the near-dup graph (one row: nodes, edges,
+    wedges, triangles, global clustering coefficient) — the graph-
+    analytics datapoint that validates a dedup pair set: near-dup
+    relations are noisy-transitive, so a healthy graph closes its
+    wedges (high coefficient), while a hash-collision-polluted one
+    doesn't.  PageRank / CC / k-means cover iterative algorithms; this
+    covers the join-shaped one.
+
+    Degree-ORIENTED counting (the compact-forward algorithm): every
+    edge points from the lower (degree, id) endpoint to the higher, so
+    each triangle is materialized exactly once as e(u,v), e(v,w),
+    e(u,w) — and, at scale, the join fan-out per vertex is bounded by
+    its ORIENTED out-degree, O(sqrt(m)) on skewed graphs where raw-id
+    orientation would hub-explode (the reason production triangle
+    counts orient by degree, not id).  Counts are exact BIGINTs; the
+    coefficient is one division of exact integers (wedges =
+    sum d·(d−1)/2, exact — d·(d−1) is even)."""
+    pairs = _q_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    deg = (pairs.select(F.col("doc_a").alias("v"))
+           .unionAll(pairs.select(F.col("doc_b").alias("v")))
+           .groupBy("v").agg(F.count(F.lit(1)).alias("d")))
+    da, db = deg.alias("da"), deg.alias("db")
+    ed = (pairs.join(da, F.col("doc_a") == F.col("da.v"))
+          .join(db, F.col("doc_b") == F.col("db.v"))
+          .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"),
+                  F.col("da.d").alias("dda"), F.col("db.d").alias("ddb")))
+    lower = (F.col("dda") < F.col("ddb")) | (
+        (F.col("dda") == F.col("ddb")) & (F.col("a") < F.col("b")))
+    e = ed.select(F.when(lower, F.col("a")).otherwise(F.col("b")).alias("u"),
+                  F.when(lower, F.col("b")).otherwise(F.col("a")).alias("v"))
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (e1.join(e2, F.col("e2.u") == F.col("e1.v"))
+           .join(e3, (F.col("e3.u") == F.col("e1.u"))
+                 & (F.col("e3.v") == F.col("e2.v")))
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles")))
+    stats = (deg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        (F.sum("d") / 2).cast("bigint").alias("n_edges"),
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("bigint")
+        .alias("n_wedges")))
+    return (stats.crossJoin(tri)
+            .select("n_nodes", "n_edges", "n_wedges", "n_triangles",
+                    (F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"))
+                    .alias("clustering_coeff")))
+
+
+_O_GRAPH_TRIANGLES = f"""
+WITH P AS (SELECT doc_a, doc_b FROM ({_O_NGRAM_JACCARD})),
+deg AS (SELECT v, count(*) AS d
+        FROM (SELECT doc_a AS v FROM P UNION ALL SELECT doc_b FROM P)
+        GROUP BY v),
+E AS (SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND doc_a < doc_b)
+                  THEN doc_a ELSE doc_b END AS u,
+             CASE WHEN da.d < db.d OR (da.d = db.d AND doc_a < doc_b)
+                  THEN doc_b ELSE doc_a END AS v
+      FROM P JOIN deg da ON da.v = doc_a JOIN deg db ON db.v = doc_b),
+tri AS (SELECT count(*) AS t FROM E e1
+        JOIN E e2 ON e2.u = e1.v
+        JOIN E e3 ON e3.u = e1.u AND e3.v = e2.v),
+st AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+              CAST(sum(d) / 2 AS BIGINT) AS n_edges,
+              CAST(sum(d * (d - 1) / 2) AS BIGINT) AS n_wedges
+       FROM deg)
+SELECT n_nodes, n_edges, n_wedges, CAST(t AS BIGINT) AS n_triangles,
+       3.0 * t / n_wedges AS clustering_coeff
+FROM st, tri
+"""
+
+
 _TFIDF_COS_THRESHOLD = 0.25
 
 
@@ -5630,6 +5700,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     "dedup_exact": (_q_dedup_exact, _O_DEDUP_EXACT),
     "dedup_ngram_jaccard": (_q_dedup_ngram_jaccard, _O_NGRAM_JACCARD),
     "dedup_tfidf_cosine": (_q_dedup_tfidf_cosine, _O_TFIDF_COSINE),
+    "graph_triangles": (_q_graph_triangles, _O_GRAPH_TRIANGLES),
     "dup_ngram_spans": (_q_dup_ngram_spans, _O_DUP_NGRAM_SPANS),
     "dup_span_pairs": (_q_dup_span_pairs, _O_DUP_SPAN_PAIRS),
     "dup_span_removal": (_q_dup_span_removal, _O_DUP_SPAN_REMOVAL),
