@@ -1515,6 +1515,57 @@ FROM t
 _STOPWORDS = ("the", "a")
 
 
+_PROFILE_COLS = ("lang", "source", "n_chars", "text")
+
+
+def _q_table_profile(spark, sf_dir):
+    """Warehouse-style column profiling of the documents table in ONE
+    scan: per column — null count, distinct count, min and max (as
+    strings, so heterogeneous types share a schema).  The observability
+    pass every ingestion pipeline runs before trusting a new corpus
+    drop; at 10^12 rows this exact form still works because it is a
+    single aggregation with no per-group state beyond the distinct
+    sets (swap count_distinct for approx_count_distinct when exact
+    cardinalities stop being worth their shuffle — the row's shape is
+    unchanged).
+
+    Plan shape: one wide aggregate computes every metric (Catalyst
+    plans the multi-distinct via Expand — one scan, one shuffle),
+    then a literal stack() unpivots 4 columns × 4 metrics to long
+    format driver-side-free."""
+    docs = load(spark, sf_dir, "documents")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max")]
+    wide = docs.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max"
+        for c in _PROFILE_COLS)
+    return wide.select(
+        "n_rows",
+        F.expr(f"stack({len(_PROFILE_COLS)}, {stack}) AS "
+               "(column, n_nulls, n_distinct, min_val, max_val)")
+    ).select("column", "n_rows",
+             F.col("n_nulls").cast("bigint").alias("n_nulls"),
+             F.col("n_distinct").cast("bigint").alias("n_distinct"),
+             "min_val", "max_val")
+
+
+_O_TABLE_PROFILE = " UNION ALL ".join(
+    f"""
+SELECT '{c}' AS column, (SELECT count(*) FROM documents) AS n_rows,
+       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_nulls,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       CAST(min({c}) AS VARCHAR) AS min_val,
+       CAST(max({c}) AS VARCHAR) AS max_val
+FROM documents""" for c in _PROFILE_COLS)
+
+
 def _q_text_stats(spark, sf_dir):
     toks = _tokens(spark, sf_dir)
     return (toks.groupBy("doc_id").agg(
@@ -5721,6 +5772,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
                               _O_SOURCE_JSON_ROUNDTRIP),
     "token_counts": (_q_token_counts, _O_TOKEN_COUNTS),
     "text_stats": (_q_text_stats, _O_TEXT_STATS),
+    "table_profile": (_q_table_profile, _O_TABLE_PROFILE),
     "doc_fingerprint": (_q_doc_fingerprint, _O_DOC_FINGERPRINT),
     "binary_features": (_q_binary_features, _O_BINARY_FEATURES),
     "media_frames": (_q_media_frames, _O_MEDIA_FRAMES),
