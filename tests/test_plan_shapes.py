@@ -1,0 +1,96 @@
+"""Structural plan-shape regression tests: PLANS.md documents WHY each
+headline plan is scale-safe; these tests pin the load-bearing physical
+properties so a refactor that silently reintroduces a join, a Python
+eval node, or an unpushed filter fails here instead of in a bench
+round.  Assertions target properties stable under AQE re-planning
+(node presence/absence, scan-level pushdown), never exchange counts."""
+
+import os
+
+import pytest
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+
+def _plan(spark, name):
+    from spellchecker_wasm_spark.queries import CATALOG
+
+    df = CATALOG[name][0](spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _count(plan, node):
+    return plan.count(node)
+
+
+def test_dup_ngram_spans_single_explode(spark):
+    # the window-sum rewrite exists to traverse the explode ONCE
+    plan = _plan(spark, "dup_ngram_spans")
+    assert _count(plan, "Generate explode") == 1, plan
+
+
+def test_dedup_ngram_jaccard_joinless(spark):
+    # one-scan inverted index: aggregations + window only, zero joins
+    plan = _plan(spark, "dedup_ngram_jaccard")
+    assert "Join" not in plan, plan
+
+
+def test_dedup_tfidf_cosine_joinless(spark):
+    plan = _plan(spark, "dedup_tfidf_cosine")
+    assert "Join" not in plan, plan
+
+
+def test_blocking_keys_is_pure_catalyst(spark):
+    # round-2 headline win: delete-key generation never leaves the JVM
+    plan = _plan(spark, "blocking_keys")
+    assert "EvalPython" not in plan, plan
+
+
+def test_scored_pairs_osa_single_arrow_eval(spark):
+    # exactly one Arrow exchange above the pair join — the scorer
+    plan = _plan(spark, "scored_pairs_osa")
+    assert _count(plan, "ArrowEvalPython") == 1, plan
+    assert "BatchEvalPython" not in plan, plan  # no row-at-a-time UDF
+
+
+def test_tpch_q3_pushdown_and_broadcast(spark):
+    plan = _plan(spark, "tpch_q3")
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_tpch_q5_date_filter_reaches_scan(spark):
+    plan = _plan(spark, "tpch_q5")
+    assert "GreaterThanOrEqual(o_orderdate," in plan, plan
+    assert "LessThan(o_orderdate," in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_tfidf_topk_uses_group_limit(spark):
+    # per-doc top-K must be a WindowGroupLimit, never a global sort
+    plan = _plan(spark, "tfidf_topk")
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_sample_stratified_is_map_only(spark):
+    plan = _plan(spark, "sample_stratified")
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_scans_prune_columns(spark):
+    # column pruning reaches parquet: the documents scan for token
+    # counting must not read the full row
+    plan = _plan(spark, "token_counts")
+    scans = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
+    assert scans, plan
+    for ln in scans:
+        assert "text" in ln.split("ReadSchema:")[-1], ln
+        assert "source" not in ln.split("ReadSchema:")[-1], ln
+
+
+@pytest.mark.parametrize("name", ["dup_span_removal", "dup_span_pairs"])
+def test_span_family_no_cartesian(spark, name):
+    plan = _plan(spark, name)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
