@@ -5692,6 +5692,43 @@ FROM c GROUP BY url
 """
 
 
+def _q_stream_recrawl_dedup(spark, sf_dir):
+    """recrawl_dedup as a STREAM: captures arrive in micro-batches and
+    the newest-capture-per-url state updates incrementally — the
+    continuous-crawl rendition of the capture-dedup pass (the batch
+    query is the backfill form).  State per url is the same packed
+    (epoch-micros, capture-id) arg-max key the batch aggregation rides,
+    so max_by/max/count partials combine across micro-batches exactly
+    as they combine across partitions; the final state equals the batch
+    aggregation by commutativity, and the batch oracle applies
+    verbatim.  The two-file split is by event_id, NOT time order —
+    max-state is order-independent, which is the point."""
+    import uuid
+
+    schema = load(spark, sf_dir, "events").schema
+    path = _stream_two_file_source(spark, sf_dir, "events", "event_id")
+    ev = (spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(path + "/*"))
+    url = F.concat(F.lit("https://crawl.example/u/"),
+                   (F.col("user_id") % 97).cast("string"))
+    key = F.concat(
+        F.lpad(F.unix_micros(F.col("ts").cast("timestamp"))
+               .cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"))
+    agg = (ev.select(url.alias("url"), "ts", "event_id", key.alias("k"))
+           .groupBy("url")
+           .agg(F.max_by("event_id", F.col("k")).cast("bigint")
+                .alias("kept_event_id"),
+                F.unix_micros(F.max("ts").cast("timestamp"))
+                .cast("bigint").alias("latest_ts_us"),
+                F.count(F.lit(1)).cast("bigint").alias("n_captures")))
+    name = "stream_recrawl_" + uuid.uuid4().hex[:8]
+    q = (agg.writeStream.format("memory").queryName(name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
 # oracle field: a literal SQL string, a callable (sf_dir) -> SQL for
 # oracles whose expected values are precomputed per scale factor
 # (compound_correct), or None for a rows-only contract entry
@@ -5808,6 +5845,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     "asof_clicks": (_q_asof_clicks, _O_ASOF_CLICKS),
     "user_rolling": (_q_user_rolling, _O_USER_ROLLING),
     "stream_dedup_exact": (_q_stream_dedup_exact, _O_DEDUP_EXACT),
+    "stream_recrawl_dedup": (_q_stream_recrawl_dedup, _O_RECRAWL_DEDUP),
     "stream_event_sessions": (_q_stream_event_sessions, _O_EVENT_SESSIONS),
     "stream_event_funnel": (_q_stream_event_funnel, _O_EVENT_FUNNEL),
     "stream_windowed_counts": (_q_stream_windowed_counts,

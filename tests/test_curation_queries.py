@@ -385,3 +385,26 @@ def test_kmeans_actually_clusters(sf_dir):
               FROM e CROSS JOIN c0 c GROUP BY e.vec_id)
         SELECT sum(d2) FROM s""").fetchone()
     assert final_inertia <= init_inertia
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_leakage_safe_split_never_straddles(sf_dir):
+    """The property the query exists for: no near-dup pair may land in
+    two different splits, and all three splits must be populated (the
+    guard is vacuous if everything falls in train)."""
+    con = _con(sf_dir)
+    sql = CATALOG["leakage_safe_split"][1]
+    straddle = con.sql(f"""
+WITH s AS ({sql})
+SELECT count(*) FROM s a JOIN s b
+  ON a.cluster_id = b.cluster_id AND a.split <> b.split""").fetchone()[0]
+    assert straddle == 0
+    splits = dict(con.sql(
+        f"WITH s AS ({sql}) SELECT split, count(*) FROM s GROUP BY split"
+    ).fetchall())
+    assert set(splits) == {"train", "val", "test"}, splits
+    # hash-bucket rates should be in the right ballpark (8/1/1)
+    total = sum(splits.values())
+    assert splits["train"] > splits["val"]
+    assert splits["train"] > splits["test"]
+    assert splits["train"] / total > 0.5
