@@ -4884,6 +4884,52 @@ FROM sizes GROUP BY cluster_size
 """)
 
 
+def _q_cluster_diameter(spark, sf_dir):
+    """Post-clustering QUALITY audit: per multi-member cluster, the
+    maximum pairwise title edit distance among members (the cluster's
+    diameter) and its size — cluster_stats counts how big clusters are;
+    this measures how far they stretch.  A diameter beyond 2·threshold
+    is the transitive-over-merge signature (A~B~C chained where A,C are
+    far apart) that cluster-size histograms cannot see.
+
+    Scale shape: the within-cluster self-join explodes size²/2 pairs
+    PER CLUSTER — bounded by cluster size (3 in the fixture; production
+    routes clusters beyond a size cap to a sampled diameter, the same
+    hot-key discipline as blocking).  The distance is the builtin JVM
+    Levenshtein (whole-stage codegen; DuckDB's levenshtein() is its
+    exact twin on these ASCII titles, the parity scored_pairs_lev
+    already pins)."""
+    pages, asg = _lk_cc_asg(spark, sf_dir)
+    m = asg.join(pages, "page_id").select("component", "title")
+    a, b = m.alias("a"), m.alias("b")
+    dia = (a.join(b, (F.col("a.component") == F.col("b.component"))
+                  & (F.col("a.title") < F.col("b.title")))
+           .groupBy(F.col("a.component").alias("component"))
+           .agg(F.max(F.levenshtein(F.col("a.title"), F.col("b.title")))
+                .cast("bigint").alias("diameter")))
+    sizes = (asg.groupBy("component")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n_members")))
+    return (sizes.where(F.col("n_members") >= 2)
+            .join(dia, "component")
+            .select(F.col("component").cast("bigint").alias("component"),
+                    "n_members", "diameter"))
+
+
+_O_CLUSTER_DIAMETER = ("WITH RECURSIVE" + _LK_SQL_FIXTURE + _LK_SQL_CC + """,
+m AS (SELECT component, title FROM asg JOIN pages ON node = page_id),
+dia AS (SELECT a.component, CAST(max(levenshtein(a.title, b.title))
+                                 AS BIGINT) AS diameter
+        FROM m a JOIN m b
+          ON a.component = b.component AND a.title < b.title
+        GROUP BY a.component),
+sizes AS (SELECT component, CAST(count(*) AS BIGINT) AS n_members
+          FROM asg GROUP BY component)
+SELECT CAST(sizes.component AS BIGINT) AS component, n_members, diameter
+FROM sizes JOIN dia ON dia.component = sizes.component
+WHERE n_members >= 2
+""")
+
+
 # the incremental batch: a FOURTH variant per entity (a deletion at a
 # position provably distinct from v1's: d3 = d1 % 8 + 1 ≠ d1), page_id
 # p_partkey*10 + 3 — arrives AFTER the corpus was clustered
@@ -5745,6 +5791,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     "linkage_cluster_f1": (_q_linkage_cluster_f1, _O_LINKAGE_CLUSTER_F1),
     "golden_record": (_q_golden_record, _O_GOLDEN_RECORD),
     "cluster_stats": (_q_cluster_stats, _O_CLUSTER_STATS),
+    "cluster_diameter": (_q_cluster_diameter, _O_CLUSTER_DIAMETER),
     "incremental_linkage": (_q_incremental_linkage,
                             _O_INCREMENTAL_LINKAGE),
     "stream_incremental_linkage": (_q_stream_incremental_linkage,
