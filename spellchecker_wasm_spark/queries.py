@@ -1000,8 +1000,10 @@ def _q_minhash_lsh_dups(spark, sf_dir):
         .distinct())
 
 
-_O_MINHASH_LSH = (
-    f"WITH {_SQL_SHINGLES}, "
+# shared CTE chain: shingles → signatures → band keys → capped buckets
+# → candidate pairs (P); consumed by the pair row AND the cluster row
+_SQL_LSH_PAIR_CTES = (
+    f"{_SQL_SHINGLES}, "
     "sig AS (SELECT doc_id, "
     + ", ".join(_o_minhash(j) for j in range(_N_MINHASH))
     + " FROM sh GROUP BY doc_id), "
@@ -1010,11 +1012,61 @@ _O_MINHASH_LSH = (
         f"SELECT doc_id, concat({b}, '_', mh_{2 * b}, '_', mh_{2 * b + 1}) "
         f"AS band_key FROM sig" for b in range(_N_MINHASH // 2))
     + "), ok AS (SELECT band_key FROM bands GROUP BY band_key "
-    f"HAVING count(*) BETWEEN 2 AND {_MINHASH_BUCKET_CAP}) "
-    "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+    f"HAVING count(*) BETWEEN 2 AND {_MINHASH_BUCKET_CAP}), "
+    "P AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
     "FROM bands a JOIN bands b ON a.band_key = b.band_key "
     "AND a.doc_id < b.doc_id "
-    "WHERE a.band_key IN (SELECT band_key FROM ok)")
+    "WHERE a.band_key IN (SELECT band_key FROM ok))")
+
+_O_MINHASH_LSH = ("WITH " + _SQL_LSH_PAIR_CTES
+                  + " SELECT doc_a, doc_b FROM P")
+
+
+def _q_dedup_lsh_clusters(spark, sf_dir):
+    """The dedup endgame over the SCALE path: MinHash-LSH candidate
+    pairs (bucket-capped, signatures computed once) feed large-star/
+    small-star connected components, emitting (cluster_id,
+    is_canonical) per document — dedup_clusters' twin with the LSH
+    pair generator swapped for the exact-Jaccard one.  At 10^12 docs
+    THIS is the pipeline that runs: the inverted-index Jaccard row
+    needs every posting pair; LSH needs only banded bucket collisions.
+
+    Scale shape: everything above CC is the minhash_lsh_dups plan
+    (narrow (doc_id, band_key) shuffles); CC shuffles (long, long)
+    edges and driver-finishes small frontiers
+    (operators/clustering.py)."""
+    from .operators.clustering import connected_components
+
+    pairs = _q_minhash_lsh_dups(spark, sf_dir)
+    docs = (load(spark, sf_dir, "documents")
+            .where(F.col("text").isNotNull()).select("doc_id"))
+    cc = connected_components(
+        pairs.select(F.col("doc_a").alias("id_a"),
+                     F.col("doc_b").alias("id_b")),
+        nodes=docs)
+    return cc.select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        (F.col("node") == F.col("component")).cast("int")
+        .alias("is_canonical"))
+
+
+_O_LSH_CLUSTERS = ("WITH RECURSIVE " + _SQL_LSH_PAIR_CTES + """,
+e AS (SELECT doc_a AS a, doc_b AS b FROM P
+      UNION SELECT doc_b, doc_a FROM P),
+reach(a, b) AS (SELECT a, b FROM e
+                UNION SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+comp AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+         FROM reach GROUP BY a),
+alldocs AS (SELECT doc_id FROM documents WHERE text IS NOT NULL),
+asg AS (SELECT doc_id, cluster_id FROM comp
+        UNION ALL
+        SELECT doc_id, doc_id AS cluster_id FROM alldocs
+        WHERE doc_id NOT IN (SELECT doc_id FROM comp))
+SELECT doc_id, cluster_id,
+       CAST(doc_id = cluster_id AS INTEGER) AS is_canonical
+FROM asg
+""")
 
 
 def _q_simhash(spark, sf_dir):
@@ -5841,6 +5893,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     "dup_span_removal": (_q_dup_span_removal, _O_DUP_SPAN_REMOVAL),
     "minhash_signatures": (_q_minhash_signatures, _O_MINHASH_SIGNATURES),
     "minhash_lsh_dups": (_q_minhash_lsh_dups, _O_MINHASH_LSH),
+    "dedup_lsh_clusters": (_q_dedup_lsh_clusters, _O_LSH_CLUSTERS),
     "simhash": (_q_simhash, _O_SIMHASH),
     "simhash_dups": (_q_simhash_dups, _O_SIMHASH_DUPS),
     "embedding_knn": (_q_embedding_knn, _O_EMBEDDING_KNN),
