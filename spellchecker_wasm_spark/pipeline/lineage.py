@@ -50,9 +50,17 @@ class StageWriter:
 
     def materialize(self, name: str, df: DataFrame,
                     input_fingerprint: str | None = None,
-                    force: bool = False) -> DataFrame:
+                    force: bool = False,
+                    partition_by: list[str] | None = None) -> DataFrame:
         """Write-or-resume: if the stage output exists, read it back
         (idempotent resume); otherwise compute, write, and record metrics.
+
+        With ``partition_by`` the stage writes hive-layout partitions and
+        the lineage breakdown is keyed by PARTITION VALUE — the form
+        Iceberg partition stats take (a task-id breakdown is meaningless
+        once the data is at rest; a value breakdown survives compaction,
+        migration, and engine changes).  Without it the breakdown falls
+        back to physical task partitions (spark_partition_id).
         """
         path = self.stage_path(name)
         if self.is_complete(name) and not force:
@@ -65,8 +73,11 @@ class StageWriter:
         # stays opt-in because it genuinely needs a second pass
         from pyspark.sql import Observation
         obs = Observation()
-        df.observe(obs, F.count(F.lit(1)).alias("rows")) \
-            .write.mode("overwrite").parquet(path)
+        writer = (df.observe(obs, F.count(F.lit(1)).alias("rows"))
+                  .write.mode("overwrite"))
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(path)
         out = self.spark.read.parquet(path)
         wall = time.time() - t0
         metrics = {"stage": name, "event": "write", "path": path,
@@ -74,10 +85,17 @@ class StageWriter:
                    "row_count": int(obs.get["rows"]),
                    "input_fingerprint": input_fingerprint}
         if self.collect_partition_lineage:
-            per_part = (out.groupBy(F.spark_partition_id().alias("pid"))
-                        .count().collect())
-            metrics["partitions"] = {int(r["pid"]): int(r["count"])
-                                     for r in per_part}
+            if partition_by:
+                per_part = out.groupBy(*partition_by).count().collect()
+                metrics["partitions"] = {
+                    "/".join(str(r[c]) for c in partition_by):
+                        int(r["count"])
+                    for r in per_part}
+            else:
+                per_part = (out.groupBy(F.spark_partition_id()
+                                        .alias("pid")).count().collect())
+                metrics["partitions"] = {int(r["pid"]): int(r["count"])
+                                         for r in per_part}
         self._log(metrics)
         return out
 

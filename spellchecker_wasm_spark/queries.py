@@ -4858,6 +4858,45 @@ FROM t GROUP BY lang
 """
 
 
+def _q_stage_lineage(spark, sf_dir):
+    """The north rule's "per-partition lineage + row-count metrics"
+    clause under the driver oracle: a stage checkpoints partitionBy(lang)
+    through StageWriter with partition lineage ON, and the returned rows
+    come from the LINEAGE SIDECAR (_metrics.jsonl), not from re-reading
+    the data — so the oracle turns red if the sidecar's value-keyed
+    partition breakdown or its Observation-riding total miscounts
+    anything.  Partition lineage is keyed by PARTITION VALUE (the form
+    Iceberg partition stats take — a task-id breakdown is meaningless at
+    rest; a value breakdown survives compaction and engine changes).
+
+    Scale shape: the breakdown aggregates the written stage once
+    (opt-in, documented in lineage.py); the sidecar is O(|partitions|)
+    JSON on the driver — at 10^12 docs partition counts are thousands,
+    not rows."""
+    import tempfile
+
+    from .pipeline.lineage import StageWriter
+
+    w = StageWriter(spark, tempfile.mkdtemp(prefix="lineage_"), "r1")
+    docs = (load(spark, sf_dir, "documents")
+            .where(F.col("text").isNotNull())
+            .select("doc_id", "lang", "n_chars"))
+    w.materialize("docs_by_lang", docs, partition_by=["lang"])
+    m = [x for x in w.metrics() if x["event"] == "write"][0]
+    rows = [(lang, int(n), int(m["row_count"]))
+            for lang, n in m["partitions"].items()]
+    return spark.createDataFrame(
+        rows, "lang string, n_rows bigint, total_rows bigint")
+
+
+_O_STAGE_LINEAGE = """
+WITH d AS (SELECT lang FROM documents WHERE text IS NOT NULL)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST((SELECT count(*) FROM d) AS BIGINT) AS total_rows
+FROM d GROUP BY lang
+"""
+
+
 # ---------------------------------------------------------------------------
 # Round-3 continuation: the remaining production-ER stages as first-class
 # oracle rows — survivorship (golden record), cluster observability,
@@ -5864,6 +5903,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     "sink_orc_roundtrip": (_q_sink_orc_roundtrip, _O_SINK_ORC_ROUNDTRIP),
     "sink_bucketed_join": (_q_sink_bucketed_join, _O_SINK_BUCKETED_JOIN),
     "checkpoint_resume": (_q_checkpoint_resume, _O_CHECKPOINT_RESUME),
+    "stage_lineage": (_q_stage_lineage, _O_STAGE_LINEAGE),
     "source_csv_roundtrip": (_q_source_csv_roundtrip,
                              _O_SOURCE_CSV_ROUNDTRIP),
     "scored_pairs_osa": (_q_scored_pairs_osa, _O_SCORED_OSA),
