@@ -5328,6 +5328,131 @@ FROM bg
 """)
 
 
+# Fellegi-Sunter (JASA 1969) agreement/disagreement weights in integer
+# MILLI-BITS: w = round(1000 * log2(m/u)) for agreement, round(1000 *
+# log2((1-m)/(1-u))) for disagreement, precomputed from fixed (m, u)
+# so BOTH engines sum exact integers (no floating-point log/order
+# divergence can break the value hash).  The (m, u) choices are the
+# classic textbook shapes for these comparators:
+#   osa <= 1        m=0.95 u=0.05  -> +4248 / -4248
+#   len_diff = 0    m=0.90 u=0.30  -> +1585 / -2807
+#   prefix_len >= 3 m=0.85 u=0.20  -> +2087 / -2415
+#   bigram_jac>=0.6 m=0.90 u=0.10  -> +3170 / -3170
+_FS_WEIGHTS = {"osa": (4248, -4248), "len": (1585, -2807),
+               "prefix": (2087, -2415), "bigram": (3170, -3170)}
+_FS_MATCH_MB = 4000     # decision thresholds, milli-bits
+_FS_POSSIBLE_MB = 0
+
+
+def _q_fellegi_sunter(spark, sf_dir):
+    """Fellegi-Sunter probabilistic match decision over the verified
+    candidate pairs: each pair's feature vector (the same four
+    comparators pair_features emits) is folded into a single match
+    weight — sum over comparators of log2(m/u) on agreement,
+    log2((1-m)/(1-u)) on disagreement — and thresholded into the
+    classic three-way decision (match / possible / non_match).  Weights
+    are precomputed integer milli-bits (see _FS_WEIGHTS) so the sum is
+    exact on both engines; agreement predicates are exact integer
+    comparisons (the Jaccard >= 0.6 test is cross-multiplied:
+    5*inter >= 3*union).
+
+    This is the scoring model production linkage runs between pairwise
+    comparison and clustering (the reference supplies the comparators:
+    its banded OSA is the first and strongest, sym_spell.rs
+    distance_damerau); the clerical-review band is the 'possible' zone.
+
+    Scale shape: identical plan to scored_pairs_osa plus one
+    whole-stage-codegen projection — the agreement booleans, integer
+    sum, and CASE never leave codegen, nothing new crosses an
+    exchange."""
+    _, scored = _lk_scored(spark, sf_dir)
+
+    def bigrams(c):
+        arr = F.expr(f"array_distinct(transform(sequence(1, length({c}) "
+                     f"- 1), i -> substr({c}, i, 2)))")
+        return F.when(F.length(c) >= 2, arr).otherwise(
+            F.array().cast("array<string>"))
+
+    ba, bb = bigrams("term_a"), bigrams("term_b")
+    inter = F.size(F.array_intersect(ba, bb))
+    uni = F.size(F.array_union(ba, bb))
+    prefix = F.when(
+        F.least(F.length("term_a"), F.length("term_b")) > 0,
+        F.expr("size(filter(sequence(1, least(length(term_a), "
+               "length(term_b))), i -> substr(term_a, 1, i) "
+               "= substr(term_b, 1, i)))")).otherwise(F.lit(0))
+    a_osa = (F.col("distance") <= 1).cast("int")
+    a_len = (F.length("term_a") == F.length("term_b")).cast("int")
+    a_prefix = (prefix >= 3).cast("int")
+    a_bigram = (inter * 5 >= uni * 3).cast("int")
+
+    def w(flag, key):
+        agree, disagree = _FS_WEIGHTS[key]
+        return F.when(flag == 1, F.lit(agree)).otherwise(F.lit(disagree))
+
+    weight = (w(a_osa, "osa") + w(a_len, "len") + w(a_prefix, "prefix")
+              + w(a_bigram, "bigram")).cast("bigint")
+    decision = (F.when(weight >= _FS_MATCH_MB, F.lit("match"))
+                .when(weight >= _FS_POSSIBLE_MB, F.lit("possible"))
+                .otherwise(F.lit("non_match")))
+    return (_with_cols(scored, a_osa=a_osa, a_len=a_len,
+                       a_prefix=a_prefix, a_bigram=a_bigram)
+            .select(F.col("id_a").cast("bigint").alias("id_a"),
+                    F.col("id_b").cast("bigint").alias("id_b"),
+                    F.col("a_osa"), F.col("a_len"), F.col("a_prefix"),
+                    F.col("a_bigram"), weight.alias("weight_mb"),
+                    decision.alias("decision")))
+
+
+def _with_cols(df, **cols):
+    for k, v in cols.items():
+        df = df.withColumn(k, v)
+    return df
+
+
+_O_FELLEGI_SUNTER = ("WITH RECURSIVE" + _LK_SQL_FIXTURE + """,
+feat AS (SELECT id_a, id_b, ta, tb, damerau_levenshtein(ta, tb) AS osa
+         FROM cand WHERE damerau_levenshtein(ta, tb) <= 2),
+ag AS (SELECT id_a, id_b,
+              CASE WHEN osa <= 1 THEN 1 ELSE 0 END AS a_osa,
+              CASE WHEN length(ta) = length(tb) THEN 1 ELSE 0
+                   END AS a_len,
+              CASE WHEN len(list_filter(
+                       range(1, least(length(ta), length(tb)) + 1),
+                       i -> substr(ta, 1, CAST(i AS INTEGER))
+                            = substr(tb, 1, CAST(i AS INTEGER)))) >= 3
+                   THEN 1 ELSE 0 END AS a_prefix,
+              CASE WHEN 5 * len(list_intersect(
+                       list_distinct(list_transform(range(1, length(ta)),
+                           i -> substr(ta, CAST(i AS INTEGER), 2))),
+                       list_distinct(list_transform(range(1, length(tb)),
+                           i -> substr(tb, CAST(i AS INTEGER), 2)))))
+                   >= 3 * len(list_distinct(list_concat(
+                       list_distinct(list_transform(range(1, length(ta)),
+                           i -> substr(ta, CAST(i AS INTEGER), 2))),
+                       list_distinct(list_transform(range(1, length(tb)),
+                           i -> substr(tb, CAST(i AS INTEGER), 2))))))
+                   THEN 1 ELSE 0 END AS a_bigram
+       FROM feat),
+wt AS (SELECT id_a, id_b, a_osa, a_len, a_prefix, a_bigram,
+              CAST((CASE WHEN a_osa = 1 THEN 4248 ELSE -4248 END)
+                 + (CASE WHEN a_len = 1 THEN 1585 ELSE -2807 END)
+                 + (CASE WHEN a_prefix = 1 THEN 2087 ELSE -2415 END)
+                 + (CASE WHEN a_bigram = 1 THEN 3170 ELSE -3170 END)
+                   AS BIGINT) AS weight_mb
+       FROM ag)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       CAST(a_osa AS INTEGER) AS a_osa, CAST(a_len AS INTEGER) AS a_len,
+       CAST(a_prefix AS INTEGER) AS a_prefix,
+       CAST(a_bigram AS INTEGER) AS a_bigram,
+       weight_mb,
+       CASE WHEN weight_mb >= 4000 THEN 'match'
+            WHEN weight_mb >= 0 THEN 'possible'
+            ELSE 'non_match' END AS decision
+FROM wt
+""")
+
+
 def _q_scored_pairs_jaro(spark, sf_dir):
     """Jaro-Winkler pair scoring — the similarity production ER pairs
     with an edit-distance scorer for short name-like fields (here the
@@ -5889,6 +6014,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
                                    _O_INCREMENTAL_LINKAGE),
     "er_threshold_sweep": (_q_er_threshold_sweep, _O_ER_THRESHOLD_SWEEP),
     "pair_features": (_q_pair_features, _O_PAIR_FEATURES),
+    "fellegi_sunter": (_q_fellegi_sunter, _O_FELLEGI_SUNTER),
     "snm_pairs": (_q_snm_pairs, _o_snm_pairs()),
     "snm_multikey_pairs": (_q_snm_multikey_pairs, _O_SNM_MULTIKEY),
     "blocking_compare": (_q_blocking_compare, _O_BLOCKING_COMPARE),
