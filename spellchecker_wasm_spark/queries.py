@@ -5453,6 +5453,126 @@ FROM wt
 """)
 
 
+def _q_fs_em_step(spark, sf_dir):
+    """One EM re-estimation step of the unsupervised Fellegi-Sunter
+    parameters (Winkler's EM for record linkage): treating the current
+    three-way decision as the E-step posterior (match band = matched
+    class, non_match band = unmatched class, the clerical 'possible'
+    band abstains), the M-step re-estimates each comparator's
+    m = P(agree | matched) and u = P(agree | unmatched) from the
+    observed agreement counts.  Ratios are emitted as exact integer
+    parts-per-million (integer division) plus the raw integer counts,
+    so the result is hash-stable across engines — the float division
+    that production would feed back into _FS_WEIGHTS is one trivial
+    step away and deliberately left outside the oracle.
+
+    Scale shape: the fellegi_sunter projection followed by ONE
+    4-row-output aggregation — a map-side-combined global agg (sums of
+    0/1 ints), then a 4-way stack; nothing else crosses an exchange."""
+    fs = _q_fellegi_sunter(spark, sf_dir)
+    agg = fs.agg(
+        F.sum((F.col("decision") == "match").cast("bigint"))
+        .alias("n_match"),
+        F.sum((F.col("decision") == "non_match").cast("bigint"))
+        .alias("n_nonmatch"),
+        *[F.sum(F.when(F.col("decision") == "match",
+                       F.col(c)).otherwise(F.lit(0)).cast("bigint"))
+          .alias(f"am_{c}") for c in
+          ("a_osa", "a_len", "a_prefix", "a_bigram")],
+        *[F.sum(F.when(F.col("decision") == "non_match",
+                       F.col(c)).otherwise(F.lit(0)).cast("bigint"))
+          .alias(f"au_{c}") for c in
+          ("a_osa", "a_len", "a_prefix", "a_bigram")])
+    stacked = agg.select(F.expr(
+        "stack(4, " + ", ".join(
+            f"'{c}', am_a_{c}, au_a_{c}" for c in
+            ("osa", "len", "prefix", "bigram"))
+        + ") as (comparator, agree_match, agree_nonmatch)"),
+        "n_match", "n_nonmatch")
+    return stacked.select(
+        "comparator",
+        F.col("n_match").cast("bigint").alias("n_match"),
+        F.col("agree_match").cast("bigint").alias("agree_match"),
+        F.col("n_nonmatch").cast("bigint").alias("n_nonmatch"),
+        F.col("agree_nonmatch").cast("bigint").alias("agree_nonmatch"),
+        F.expr("CAST(agree_match * 1000000 div n_match AS BIGINT)")
+        .alias("m_ppm"),
+        F.expr("CAST(agree_nonmatch * 1000000 div n_nonmatch AS BIGINT)")
+        .alias("u_ppm"))
+
+
+_O_FS_EM_STEP = ("WITH RECURSIVE" + _LK_SQL_FIXTURE + """,
+feat AS (SELECT id_a, id_b, ta, tb, damerau_levenshtein(ta, tb) AS osa
+         FROM cand WHERE damerau_levenshtein(ta, tb) <= 2),
+ag AS (SELECT CASE WHEN osa <= 1 THEN 1 ELSE 0 END AS a_osa,
+              CASE WHEN length(ta) = length(tb) THEN 1 ELSE 0
+                   END AS a_len,
+              CASE WHEN len(list_filter(
+                       range(1, least(length(ta), length(tb)) + 1),
+                       i -> substr(ta, 1, CAST(i AS INTEGER))
+                            = substr(tb, 1, CAST(i AS INTEGER)))) >= 3
+                   THEN 1 ELSE 0 END AS a_prefix,
+              CASE WHEN 5 * len(list_intersect(
+                       list_distinct(list_transform(range(1, length(ta)),
+                           i -> substr(ta, CAST(i AS INTEGER), 2))),
+                       list_distinct(list_transform(range(1, length(tb)),
+                           i -> substr(tb, CAST(i AS INTEGER), 2)))))
+                   >= 3 * len(list_distinct(list_concat(
+                       list_distinct(list_transform(range(1, length(ta)),
+                           i -> substr(ta, CAST(i AS INTEGER), 2))),
+                       list_distinct(list_transform(range(1, length(tb)),
+                           i -> substr(tb, CAST(i AS INTEGER), 2))))))
+                   THEN 1 ELSE 0 END AS a_bigram
+       FROM feat),
+wt AS (SELECT a_osa, a_len, a_prefix, a_bigram,
+              (CASE WHEN a_osa = 1 THEN 4248 ELSE -4248 END)
+            + (CASE WHEN a_len = 1 THEN 1585 ELSE -2807 END)
+            + (CASE WHEN a_prefix = 1 THEN 2087 ELSE -2415 END)
+            + (CASE WHEN a_bigram = 1 THEN 3170 ELSE -3170 END)
+              AS weight_mb
+       FROM ag),
+dec AS (SELECT *, CASE WHEN weight_mb >= 4000 THEN 'match'
+                       WHEN weight_mb >= 0 THEN 'possible'
+                       ELSE 'non_match' END AS decision
+        FROM wt),
+tot AS (SELECT
+    sum(CASE WHEN decision = 'match' THEN 1 ELSE 0 END) AS n_match,
+    sum(CASE WHEN decision = 'non_match' THEN 1 ELSE 0 END)
+        AS n_nonmatch,
+    sum(CASE WHEN decision = 'match' THEN a_osa ELSE 0 END) AS am_osa,
+    sum(CASE WHEN decision = 'match' THEN a_len ELSE 0 END) AS am_len,
+    sum(CASE WHEN decision = 'match' THEN a_prefix ELSE 0 END)
+        AS am_prefix,
+    sum(CASE WHEN decision = 'match' THEN a_bigram ELSE 0 END)
+        AS am_bigram,
+    sum(CASE WHEN decision = 'non_match' THEN a_osa ELSE 0 END)
+        AS au_osa,
+    sum(CASE WHEN decision = 'non_match' THEN a_len ELSE 0 END)
+        AS au_len,
+    sum(CASE WHEN decision = 'non_match' THEN a_prefix ELSE 0 END)
+        AS au_prefix,
+    sum(CASE WHEN decision = 'non_match' THEN a_bigram ELSE 0 END)
+        AS au_bigram
+    FROM dec),
+u AS (SELECT 'osa' AS comparator, am_osa AS agree_match,
+             au_osa AS agree_nonmatch, n_match, n_nonmatch FROM tot
+      UNION ALL
+      SELECT 'len', am_len, au_len, n_match, n_nonmatch FROM tot
+      UNION ALL
+      SELECT 'prefix', am_prefix, au_prefix, n_match, n_nonmatch FROM tot
+      UNION ALL
+      SELECT 'bigram', am_bigram, au_bigram, n_match, n_nonmatch FROM tot)
+SELECT comparator,
+       CAST(n_match AS BIGINT) AS n_match,
+       CAST(agree_match AS BIGINT) AS agree_match,
+       CAST(n_nonmatch AS BIGINT) AS n_nonmatch,
+       CAST(agree_nonmatch AS BIGINT) AS agree_nonmatch,
+       CAST(agree_match * 1000000 // n_match AS BIGINT) AS m_ppm,
+       CAST(agree_nonmatch * 1000000 // n_nonmatch AS BIGINT) AS u_ppm
+FROM u
+""")
+
+
 def _q_scored_pairs_jaro(spark, sf_dir):
     """Jaro-Winkler pair scoring — the similarity production ER pairs
     with an edit-distance scorer for short name-like fields (here the
@@ -6015,6 +6135,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     "er_threshold_sweep": (_q_er_threshold_sweep, _O_ER_THRESHOLD_SWEEP),
     "pair_features": (_q_pair_features, _O_PAIR_FEATURES),
     "fellegi_sunter": (_q_fellegi_sunter, _O_FELLEGI_SUNTER),
+    "fs_em_step": (_q_fs_em_step, _O_FS_EM_STEP),
     "snm_pairs": (_q_snm_pairs, _o_snm_pairs()),
     "snm_multikey_pairs": (_q_snm_multikey_pairs, _O_SNM_MULTIKEY),
     "blocking_compare": (_q_blocking_compare, _O_BLOCKING_COMPARE),
