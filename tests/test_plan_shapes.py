@@ -94,3 +94,25 @@ def test_span_family_no_cartesian(spark, name):
     plan = _plan(spark, name)
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_fellegi_sunter_pure_codegen_decision_layer(spark):
+    # the FS decision layer is ONE codegen projection over the linkage
+    # fixture's scored pair set: the fixture's single ArrowEvalPython
+    # (the OSA scorer) and its 3 hash joins (pair join + 2 broadcast
+    # payload attaches) — the weights/decision add NO join, NO Python,
+    # NO cartesian
+    plan_fs = _plan(spark, "fellegi_sunter")
+    assert _count(plan_fs, "ArrowEvalPython") == 1, plan_fs
+    assert "BatchEvalPython" not in plan_fs, plan_fs
+    assert _count(plan_fs, "Join") <= 3, plan_fs
+    assert "CartesianProduct" not in plan_fs, plan_fs
+    assert "BroadcastNestedLoop" not in plan_fs, plan_fs
+
+
+def test_fs_em_step_single_global_agg(spark):
+    # M-step = one map-combined global aggregate (partial+final pair)
+    # then a constant-width stack; no join, no Python above the fixture
+    plan = _plan(spark, "fs_em_step")
+    assert _count(plan, "ArrowEvalPython") == 1, plan
+    assert "BatchEvalPython" not in plan, plan
