@@ -5410,10 +5410,13 @@ def _with_cols(df, **cols):
     return df
 
 
-_O_FELLEGI_SUNTER = ("WITH RECURSIVE" + _LK_SQL_FIXTURE + """,
-feat AS (SELECT id_a, id_b, ta, tb, damerau_levenshtein(ta, tb) AS osa
-         FROM cand WHERE damerau_levenshtein(ta, tb) <= 2),
-ag AS (SELECT id_a, id_b,
+# shared FS CTE chain — cand pairs -> agreement bits -> integer weight
+# -> three-way decision; every FS oracle builds on `fsdec` so the three
+# rows cannot drift from each other
+_FS_SQL_DEC = """,
+fsfeat AS (SELECT id_a, id_b, ta, tb, damerau_levenshtein(ta, tb) AS osa
+           FROM cand WHERE damerau_levenshtein(ta, tb) <= 2),
+fsag AS (SELECT id_a, id_b,
               CASE WHEN osa <= 1 THEN 1 ELSE 0 END AS a_osa,
               CASE WHEN length(ta) = length(tb) THEN 1 ELSE 0
                    END AS a_len,
@@ -5433,23 +5436,26 @@ ag AS (SELECT id_a, id_b,
                        list_distinct(list_transform(range(1, length(tb)),
                            i -> substr(tb, CAST(i AS INTEGER), 2))))))
                    THEN 1 ELSE 0 END AS a_bigram
-       FROM feat),
-wt AS (SELECT id_a, id_b, a_osa, a_len, a_prefix, a_bigram,
+       FROM fsfeat),
+fswt AS (SELECT id_a, id_b, a_osa, a_len, a_prefix, a_bigram,
               CAST((CASE WHEN a_osa = 1 THEN 4248 ELSE -4248 END)
                  + (CASE WHEN a_len = 1 THEN 1585 ELSE -2807 END)
                  + (CASE WHEN a_prefix = 1 THEN 2087 ELSE -2415 END)
                  + (CASE WHEN a_bigram = 1 THEN 3170 ELSE -3170 END)
                    AS BIGINT) AS weight_mb
-       FROM ag)
+       FROM fsag),
+fsdec AS (SELECT *, CASE WHEN weight_mb >= 4000 THEN 'match'
+                         WHEN weight_mb >= 0 THEN 'possible'
+                         ELSE 'non_match' END AS decision
+          FROM fswt)"""
+
+_O_FELLEGI_SUNTER = ("WITH RECURSIVE" + _LK_SQL_FIXTURE + _FS_SQL_DEC + """
 SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
        CAST(a_osa AS INTEGER) AS a_osa, CAST(a_len AS INTEGER) AS a_len,
        CAST(a_prefix AS INTEGER) AS a_prefix,
        CAST(a_bigram AS INTEGER) AS a_bigram,
-       weight_mb,
-       CASE WHEN weight_mb >= 4000 THEN 'match'
-            WHEN weight_mb >= 0 THEN 'possible'
-            ELSE 'non_match' END AS decision
-FROM wt
+       weight_mb, decision
+FROM fsdec
 """)
 
 
@@ -5501,40 +5507,7 @@ def _q_fs_em_step(spark, sf_dir):
         .alias("u_ppm"))
 
 
-_O_FS_EM_STEP = ("WITH RECURSIVE" + _LK_SQL_FIXTURE + """,
-feat AS (SELECT id_a, id_b, ta, tb, damerau_levenshtein(ta, tb) AS osa
-         FROM cand WHERE damerau_levenshtein(ta, tb) <= 2),
-ag AS (SELECT CASE WHEN osa <= 1 THEN 1 ELSE 0 END AS a_osa,
-              CASE WHEN length(ta) = length(tb) THEN 1 ELSE 0
-                   END AS a_len,
-              CASE WHEN len(list_filter(
-                       range(1, least(length(ta), length(tb)) + 1),
-                       i -> substr(ta, 1, CAST(i AS INTEGER))
-                            = substr(tb, 1, CAST(i AS INTEGER)))) >= 3
-                   THEN 1 ELSE 0 END AS a_prefix,
-              CASE WHEN 5 * len(list_intersect(
-                       list_distinct(list_transform(range(1, length(ta)),
-                           i -> substr(ta, CAST(i AS INTEGER), 2))),
-                       list_distinct(list_transform(range(1, length(tb)),
-                           i -> substr(tb, CAST(i AS INTEGER), 2)))))
-                   >= 3 * len(list_distinct(list_concat(
-                       list_distinct(list_transform(range(1, length(ta)),
-                           i -> substr(ta, CAST(i AS INTEGER), 2))),
-                       list_distinct(list_transform(range(1, length(tb)),
-                           i -> substr(tb, CAST(i AS INTEGER), 2))))))
-                   THEN 1 ELSE 0 END AS a_bigram
-       FROM feat),
-wt AS (SELECT a_osa, a_len, a_prefix, a_bigram,
-              (CASE WHEN a_osa = 1 THEN 4248 ELSE -4248 END)
-            + (CASE WHEN a_len = 1 THEN 1585 ELSE -2807 END)
-            + (CASE WHEN a_prefix = 1 THEN 2087 ELSE -2415 END)
-            + (CASE WHEN a_bigram = 1 THEN 3170 ELSE -3170 END)
-              AS weight_mb
-       FROM ag),
-dec AS (SELECT *, CASE WHEN weight_mb >= 4000 THEN 'match'
-                       WHEN weight_mb >= 0 THEN 'possible'
-                       ELSE 'non_match' END AS decision
-        FROM wt),
+_O_FS_EM_STEP = ("WITH RECURSIVE" + _LK_SQL_FIXTURE + _FS_SQL_DEC + """,
 tot AS (SELECT
     sum(CASE WHEN decision = 'match' THEN 1 ELSE 0 END) AS n_match,
     sum(CASE WHEN decision = 'non_match' THEN 1 ELSE 0 END)
@@ -5553,7 +5526,7 @@ tot AS (SELECT
         AS au_prefix,
     sum(CASE WHEN decision = 'non_match' THEN a_bigram ELSE 0 END)
         AS au_bigram
-    FROM dec),
+    FROM fsdec),
 u AS (SELECT 'osa' AS comparator, am_osa AS agree_match,
              au_osa AS agree_nonmatch, n_match, n_nonmatch FROM tot
       UNION ALL
@@ -5571,6 +5544,30 @@ SELECT comparator,
        CAST(agree_nonmatch * 1000000 // n_nonmatch AS BIGINT) AS u_ppm
 FROM u
 """)
+
+
+def _q_fs_quality(spark, sf_dir):
+    """Pairwise precision/recall/F1 of the Fellegi-Sunter MATCH band
+    against the labeled entity truth — the north-rule metric
+    (linkage_f1) re-evaluated on the probabilistic decision instead of
+    the raw distance threshold.  The match band trades recall for
+    precision exactly as FS theory predicts (pairs the OSA threshold
+    accepts but whose other comparators disagree land in the clerical
+    band), and this row quantifies that trade under the oracle.
+
+    Scale shape: the fellegi_sunter plan + the same truth join + 1-row
+    metric agg linkage_f1 uses — (long, long) pairs are the only new
+    exchange."""
+    pages = _lk_pages(spark, sf_dir)
+    pred = (_q_fellegi_sunter(spark, sf_dir)
+            .where(F.col("decision") == "match")
+            .select("id_a", "id_b"))
+    return _lk_metrics(pages, pred)
+
+
+_O_FS_QUALITY = ("WITH RECURSIVE" + _LK_SQL_FIXTURE + _FS_SQL_DEC + """,
+fsm AS (SELECT id_a, id_b FROM fsdec WHERE decision = 'match')"""
+                 + _lk_sql_metrics("fsm"))
 
 
 def _q_scored_pairs_jaro(spark, sf_dir):
@@ -6136,6 +6133,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     "pair_features": (_q_pair_features, _O_PAIR_FEATURES),
     "fellegi_sunter": (_q_fellegi_sunter, _O_FELLEGI_SUNTER),
     "fs_em_step": (_q_fs_em_step, _O_FS_EM_STEP),
+    "fs_quality": (_q_fs_quality, _O_FS_QUALITY),
     "snm_pairs": (_q_snm_pairs, _o_snm_pairs()),
     "snm_multikey_pairs": (_q_snm_multikey_pairs, _O_SNM_MULTIKEY),
     "blocking_compare": (_q_blocking_compare, _O_BLOCKING_COMPARE),
