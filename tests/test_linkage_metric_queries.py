@@ -87,3 +87,49 @@ def test_html_extract_shape(sf_dir):
                         THEN 1 ELSE 0 END)
         FROM ({sql})""").fetchone()
     assert n > 0 and ok_prefix == n and ok_nl == n
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_fs_decision_bands_all_populated(sf_dir):
+    """The three-way decision is non-vacuous: every band receives pairs
+    at both SFs (a threshold that routes everything one way proves
+    nothing about the weights)."""
+    con = _con(sf_dir)
+    rows = dict(con.sql(
+        f"SELECT decision, count(*) FROM ({CATALOG['fellegi_sunter'][1]}) "
+        "GROUP BY decision").fetchall())
+    assert set(rows) == {"match", "possible", "non_match"}, rows
+    assert all(v > 0 for v in rows.values()), rows
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_fs_em_feedback_sharpens_weights(sf_dir):
+    """The EM M-step must produce parameters that CONFIRM the priors'
+    direction: every comparator separates the classes (m > u), and the
+    re-derived agreement log-odds 1000*log2(m/u) stays positive — the
+    feedback loop sharpens, never inverts, the decision.  This is the
+    convergence precondition for iterating fs_em_step -> _FS_WEIGHTS."""
+    import math
+
+    con = _con(sf_dir)
+    rows = con.sql(CATALOG["fs_em_step"][1]).fetchall()
+    assert len(rows) == 4
+    for comparator, n_m, am, n_u, au, m_ppm, u_ppm in rows:
+        assert n_m > 0 and n_u > 0, comparator
+        m = min(max(m_ppm / 1e6, 1e-6), 1 - 1e-6)
+        u = min(max(u_ppm / 1e6, 1e-6), 1 - 1e-6)
+        assert m > u, (comparator, m, u)
+        assert 1000 * math.log2(m / u) > 0, (comparator, m, u)
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_fs_match_band_is_pure(sf_dir):
+    """The match band auto-accepts ONLY truth pairs (precision 1.0) —
+    the whole point of demanding multiply-corroborated agreement — while
+    recall stays meaningful (the clerical band holds the rest, it does
+    not swallow everything)."""
+    con = _con(sf_dir)
+    n_truth, n_pred, n_tp, precision, recall, f1 = con.sql(
+        CATALOG["fs_quality"][1]).fetchall()[0]
+    assert precision == 1.0, (n_pred, n_tp)
+    assert 0.3 <= recall < 1.0, recall
