@@ -5344,6 +5344,50 @@ _FS_MATCH_MB = 4000     # decision thresholds, milli-bits
 _FS_POSSIBLE_MB = 0
 
 
+def _fs_decision_df(scored, weights):
+    """The FS decision projection over a scored pair frame: four exact
+    integer agreement predicates, an integer milli-bit weight sum with
+    the given per-comparator (agree, disagree) constants, and the
+    three-way CASE — all inside one whole-stage-codegen project."""
+    def bigrams(c):
+        arr = F.expr(f"array_distinct(transform(sequence(1, length({c}) "
+                     f"- 1), i -> substr({c}, i, 2)))")
+        return F.when(F.length(c) >= 2, arr).otherwise(
+            F.array().cast("array<string>"))
+
+    ba, bb = bigrams("term_a"), bigrams("term_b")
+    inter = F.size(F.array_intersect(ba, bb))
+    uni = F.size(F.array_union(ba, bb))
+    prefix = F.when(
+        F.least(F.length("term_a"), F.length("term_b")) > 0,
+        F.expr("size(filter(sequence(1, least(length(term_a), "
+               "length(term_b))), i -> substr(term_a, 1, i) "
+               "= substr(term_b, 1, i)))")).otherwise(F.lit(0))
+    flags = {"osa": (F.col("distance") <= 1).cast("int"),
+             "len": (F.length("term_a")
+                     == F.length("term_b")).cast("int"),
+             "prefix": (prefix >= 3).cast("int"),
+             "bigram": (inter * 5 >= uni * 3).cast("int")}
+
+    def w(key):
+        agree, disagree = weights[key]
+        return (F.when(flags[key] == 1, F.lit(agree))
+                .otherwise(F.lit(disagree)))
+
+    weight = (w("osa") + w("len") + w("prefix")
+              + w("bigram")).cast("bigint")
+    decision = (F.when(weight >= _FS_MATCH_MB, F.lit("match"))
+                .when(weight >= _FS_POSSIBLE_MB, F.lit("possible"))
+                .otherwise(F.lit("non_match")))
+    return scored.select(
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"),
+        flags["osa"].alias("a_osa"), flags["len"].alias("a_len"),
+        flags["prefix"].alias("a_prefix"),
+        flags["bigram"].alias("a_bigram"),
+        weight.alias("weight_mb"), decision.alias("decision"))
+
+
 def _q_fellegi_sunter(spark, sf_dir):
     """Fellegi-Sunter probabilistic match decision over the verified
     candidate pairs: each pair's feature vector (the same four
@@ -5366,54 +5410,24 @@ def _q_fellegi_sunter(spark, sf_dir):
     sum, and CASE never leave codegen, nothing new crosses an
     exchange."""
     _, scored = _lk_scored(spark, sf_dir)
-
-    def bigrams(c):
-        arr = F.expr(f"array_distinct(transform(sequence(1, length({c}) "
-                     f"- 1), i -> substr({c}, i, 2)))")
-        return F.when(F.length(c) >= 2, arr).otherwise(
-            F.array().cast("array<string>"))
-
-    ba, bb = bigrams("term_a"), bigrams("term_b")
-    inter = F.size(F.array_intersect(ba, bb))
-    uni = F.size(F.array_union(ba, bb))
-    prefix = F.when(
-        F.least(F.length("term_a"), F.length("term_b")) > 0,
-        F.expr("size(filter(sequence(1, least(length(term_a), "
-               "length(term_b))), i -> substr(term_a, 1, i) "
-               "= substr(term_b, 1, i)))")).otherwise(F.lit(0))
-    a_osa = (F.col("distance") <= 1).cast("int")
-    a_len = (F.length("term_a") == F.length("term_b")).cast("int")
-    a_prefix = (prefix >= 3).cast("int")
-    a_bigram = (inter * 5 >= uni * 3).cast("int")
-
-    def w(flag, key):
-        agree, disagree = _FS_WEIGHTS[key]
-        return F.when(flag == 1, F.lit(agree)).otherwise(F.lit(disagree))
-
-    weight = (w(a_osa, "osa") + w(a_len, "len") + w(a_prefix, "prefix")
-              + w(a_bigram, "bigram")).cast("bigint")
-    decision = (F.when(weight >= _FS_MATCH_MB, F.lit("match"))
-                .when(weight >= _FS_POSSIBLE_MB, F.lit("possible"))
-                .otherwise(F.lit("non_match")))
-    return (_with_cols(scored, a_osa=a_osa, a_len=a_len,
-                       a_prefix=a_prefix, a_bigram=a_bigram)
-            .select(F.col("id_a").cast("bigint").alias("id_a"),
-                    F.col("id_b").cast("bigint").alias("id_b"),
-                    F.col("a_osa"), F.col("a_len"), F.col("a_prefix"),
-                    F.col("a_bigram"), weight.alias("weight_mb"),
-                    decision.alias("decision")))
-
-
-def _with_cols(df, **cols):
-    for k, v in cols.items():
-        df = df.withColumn(k, v)
-    return df
+    return _fs_decision_df(scored, _FS_WEIGHTS)
 
 
 # shared FS CTE chain — cand pairs -> agreement bits -> integer weight
-# -> three-way decision; every FS oracle builds on `fsdec` so the three
-# rows cannot drift from each other
-_FS_SQL_DEC = """,
+# -> three-way decision; every FS oracle builds on `fsdec` so the rows
+# cannot drift from each other.  Parameterized by the per-comparator
+# (agree, disagree) milli-bit constants so the EM round-2 oracle reuses
+# the identical chain with re-derived weights.
+def _fs_sql_dec(weights) -> str:
+    w = {k: (int(a), int(d)) for k, (a, d) in weights.items()}
+    return _FS_SQL_DEC_TEMPLATE.format(
+        osa_a=w["osa"][0], osa_d=w["osa"][1],
+        len_a=w["len"][0], len_d=w["len"][1],
+        prefix_a=w["prefix"][0], prefix_d=w["prefix"][1],
+        bigram_a=w["bigram"][0], bigram_d=w["bigram"][1])
+
+
+_FS_SQL_DEC_TEMPLATE = """,
 fsfeat AS (SELECT id_a, id_b, ta, tb, damerau_levenshtein(ta, tb) AS osa
            FROM cand WHERE damerau_levenshtein(ta, tb) <= 2),
 fsag AS (SELECT id_a, id_b,
@@ -5438,16 +5452,20 @@ fsag AS (SELECT id_a, id_b,
                    THEN 1 ELSE 0 END AS a_bigram
        FROM fsfeat),
 fswt AS (SELECT id_a, id_b, a_osa, a_len, a_prefix, a_bigram,
-              CAST((CASE WHEN a_osa = 1 THEN 4248 ELSE -4248 END)
-                 + (CASE WHEN a_len = 1 THEN 1585 ELSE -2807 END)
-                 + (CASE WHEN a_prefix = 1 THEN 2087 ELSE -2415 END)
-                 + (CASE WHEN a_bigram = 1 THEN 3170 ELSE -3170 END)
+              CAST((CASE WHEN a_osa = 1 THEN {osa_a} ELSE {osa_d} END)
+                 + (CASE WHEN a_len = 1 THEN {len_a} ELSE {len_d} END)
+                 + (CASE WHEN a_prefix = 1 THEN {prefix_a}
+                         ELSE {prefix_d} END)
+                 + (CASE WHEN a_bigram = 1 THEN {bigram_a}
+                         ELSE {bigram_d} END)
                    AS BIGINT) AS weight_mb
        FROM fsag),
 fsdec AS (SELECT *, CASE WHEN weight_mb >= 4000 THEN 'match'
                          WHEN weight_mb >= 0 THEN 'possible'
                          ELSE 'non_match' END AS decision
           FROM fswt)"""
+
+_FS_SQL_DEC = _fs_sql_dec(_FS_WEIGHTS)
 
 _O_FELLEGI_SUNTER = ("WITH RECURSIVE" + _LK_SQL_FIXTURE + _FS_SQL_DEC + """
 SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
@@ -5568,6 +5586,70 @@ def _q_fs_quality(spark, sf_dir):
 _O_FS_QUALITY = ("WITH RECURSIVE" + _LK_SQL_FIXTURE + _FS_SQL_DEC + """,
 fsm AS (SELECT id_a, id_b FROM fsdec WHERE decision = 'match')"""
                  + _lk_sql_metrics("fsm"))
+
+
+def _fs_weights_from_ppm(ppm_rows):
+    """Derive integer milli-bit (agree, disagree) weights from fs_em_step
+    output rows.  ppm values are clamped to [1, 999999] (a comparator
+    that agrees on every match still can't claim infinite evidence).
+    Both engines' round-2 paths call THIS function on the SAME integer
+    ppm values (proven equal by fs_em_step's green oracle row), so the
+    derived weights are identical integers by construction — the float
+    log2 never crosses an engine boundary."""
+    import math
+
+    weights = {}
+    for r in ppm_rows:
+        m = min(max(int(r["m_ppm"]), 1), 999999) / 1e6
+        u = min(max(int(r["u_ppm"]), 1), 999999) / 1e6
+        weights[r["comparator"]] = (
+            round(1000 * math.log2(m / u)),
+            round(1000 * math.log2((1 - m) / (1 - u))))
+    return weights
+
+
+def _q_fs_round2(spark, sf_dir):
+    """The EM loop CLOSED: second-iteration Fellegi-Sunter decisions
+    using weights re-derived from fs_em_step's ppm estimates instead of
+    the priors.  The 4-row EM output is collected (bounded by the
+    comparator count, never the corpus — the one driver action an EM
+    iteration inherently needs), folded into integer milli-bit weights
+    by _fs_weights_from_ppm, and the identical decision projection
+    re-runs with the new constants.  Thresholds stay at the same
+    log-odds cuts (4000 milli-bits = a 16:1 posterior odds shift) —
+    log-odds are scale-free, so the cut is comparable across
+    iterations.
+
+    Scale shape: two scoring passes (the EM agg pass + the re-decide
+    pass) — exactly the per-iteration cost of production EM linkage;
+    each pass is the fellegi_sunter plan, nothing new crosses an
+    exchange."""
+    em = [r.asDict() for r in _q_fs_em_step(spark, sf_dir).collect()]
+    weights = _fs_weights_from_ppm(em)
+    _, scored = _lk_scored(spark, sf_dir)
+    return _fs_decision_df(scored, weights).select(
+        "id_a", "id_b", "weight_mb", "decision")
+
+
+def _o_fs_round2(sf_dir: str) -> str:
+    """Oracle for fs_round2: run the fs_em_step oracle SQL on DuckDB,
+    derive the SAME integer weights via _fs_weights_from_ppm, and emit
+    the shared decision chain with those constants."""
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+                f"'{sf_dir}/{t}.parquet'")
+    cols = ("comparator", "n_match", "agree_match", "n_nonmatch",
+            "agree_nonmatch", "m_ppm", "u_ppm")
+    rows = [dict(zip(cols, r)) for r in con.sql(_O_FS_EM_STEP).fetchall()]
+    weights = _fs_weights_from_ppm(rows)
+    return ("WITH RECURSIVE" + _LK_SQL_FIXTURE + _fs_sql_dec(weights) + """
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       weight_mb, decision
+FROM fsdec
+""")
 
 
 def _q_scored_pairs_jaro(spark, sf_dir):
@@ -6134,6 +6216,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     "fellegi_sunter": (_q_fellegi_sunter, _O_FELLEGI_SUNTER),
     "fs_em_step": (_q_fs_em_step, _O_FS_EM_STEP),
     "fs_quality": (_q_fs_quality, _O_FS_QUALITY),
+    "fs_round2": (_q_fs_round2, _o_fs_round2),
     "snm_pairs": (_q_snm_pairs, _o_snm_pairs()),
     "snm_multikey_pairs": (_q_snm_multikey_pairs, _O_SNM_MULTIKEY),
     "blocking_compare": (_q_blocking_compare, _O_BLOCKING_COMPARE),
