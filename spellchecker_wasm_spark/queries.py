@@ -5021,6 +5021,86 @@ WHERE n_members >= 2
 """)
 
 
+def _q_bcubed_quality(spark, sf_dir):
+    """B-cubed (B³) precision/recall/F1 of the predicted entity
+    clustering against the labeled truth partition — the standard
+    CLUSTER-level ER quality metric (Bagga & Baldwin 1998; Amigó et al.
+    2009), complementing the PAIRWISE F1 that linkage_cluster_f1 pins:
+    B³ weights every item once (a 1000-member over-merge costs 1000
+    penalty units, not 10^6 pair units), so it is the metric that stays
+    readable when cluster sizes skew — exactly the web-scale regime.
+
+    Item i with predicted cluster C(i) and truth entity L(i) scores
+    precision |C(i)∩L(i)|/|C(i)| and recall |C(i)∩L(i)|/|L(i)|; the
+    global metric is the mean over items.  Grouping items by the
+    (component, entity) intersection CELL turns the mean into one pass
+    over cells: B³P = Σ_cells n_pt²/n_p / N,  B³R = Σ_cells n_pt²/n_t / N.
+
+    Cross-engine exactness: each cell contribution is the INTEGER floor
+    (n_pt² · 10⁹) div n_p — Spark `div` and DuckDB `//` floor
+    identically on non-negative BIGINTs, so the ppb sums are exact
+    integers on both engines and the only floats are single divisions
+    of those integers (fs_quality's discipline).  Floor error is bounded
+    by #cells/10⁹ per metric — a definitional constant of this query,
+    identical on both sides.  n_pt ≤ max cluster size; the ppb scale is
+    overflow-safe below n_pt ≈ 3·10³, three orders above the blocking
+    cap's bound on any real cluster here.
+
+    Scale shape: cells is ONE hash aggregation over the assignments
+    (N rows in, ≤ #clusters+#entities out); n_p/n_t re-aggregate and
+    join back on the tiny cells table; the final agg is one row.
+    Nothing beyond clustering itself shuffles more than (long, long)."""
+    pages, asg = _lk_cc_asg(spark, sf_dir)
+    cells = (asg.withColumn("entity", F.expr("page_id div 10"))
+             .groupBy("component", "entity")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n_pt")))
+    n_p = cells.groupBy("component").agg(F.sum("n_pt").alias("n_p"))
+    n_t = cells.groupBy("entity").agg(F.sum("n_pt").alias("n_t"))
+    j = cells.join(n_p, "component").join(n_t, "entity")
+    agg = j.agg(
+        F.sum("n_pt").cast("bigint").alias("n_items"),
+        F.sum(F.expr("(n_pt * n_pt * CAST(1000000000 AS BIGINT)) div n_p"))
+        .cast("bigint").alias("bp_ppb"),
+        F.sum(F.expr("(n_pt * n_pt * CAST(1000000000 AS BIGINT)) div n_t"))
+        .cast("bigint").alias("br_ppb"))
+    scale = F.col("n_items") * F.lit(1000000000).cast("bigint")
+    p = (F.col("bp_ppb") / scale)
+    r = (F.col("br_ppb") / scale)
+    return agg.select(
+        "n_items", "bp_ppb", "br_ppb",
+        p.alias("bcubed_precision"), r.alias("bcubed_recall"),
+        (F.lit(2.0) * p * r / (p + r)).alias("bcubed_f1"))
+
+
+_O_BCUBED_QUALITY = ("WITH RECURSIVE" + _LK_SQL_FIXTURE + _LK_SQL_CC + """,
+cells AS (SELECT component, node // 10 AS entity,
+                 CAST(count(*) AS BIGINT) AS n_pt
+          FROM asg GROUP BY component, node // 10),
+np AS (SELECT component, CAST(sum(n_pt) AS BIGINT) AS n_p
+       FROM cells GROUP BY component),
+nt AS (SELECT entity, CAST(sum(n_pt) AS BIGINT) AS n_t
+       FROM cells GROUP BY entity),
+j AS (SELECT c.n_pt, np.n_p, nt.n_t
+      FROM cells c JOIN np ON c.component = np.component
+                   JOIN nt ON c.entity = nt.entity),
+a AS (SELECT CAST(sum(n_pt) AS BIGINT) AS n_items,
+             CAST(sum((n_pt * n_pt * CAST(1000000000 AS BIGINT)) // n_p)
+                  AS BIGINT) AS bp_ppb,
+             CAST(sum((n_pt * n_pt * CAST(1000000000 AS BIGINT)) // n_t)
+                  AS BIGINT) AS br_ppb
+      FROM j)
+SELECT n_items, bp_ppb, br_ppb,
+       bp_ppb / (n_items * CAST(1000000000 AS BIGINT)) AS bcubed_precision,
+       br_ppb / (n_items * CAST(1000000000 AS BIGINT)) AS bcubed_recall,
+       2.0 * (bp_ppb / (n_items * CAST(1000000000 AS BIGINT)))
+           * (br_ppb / (n_items * CAST(1000000000 AS BIGINT)))
+           / ((bp_ppb / (n_items * CAST(1000000000 AS BIGINT)))
+              + (br_ppb / (n_items * CAST(1000000000 AS BIGINT))))
+       AS bcubed_f1
+FROM a
+""")
+
+
 # the incremental batch: a FOURTH variant per entity (a deletion at a
 # position provably distinct from v1's: d3 = d1 % 8 + 1 ≠ d1), page_id
 # p_partkey*10 + 3 — arrives AFTER the corpus was clustered
@@ -6207,6 +6287,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     "golden_record": (_q_golden_record, _O_GOLDEN_RECORD),
     "cluster_stats": (_q_cluster_stats, _O_CLUSTER_STATS),
     "cluster_diameter": (_q_cluster_diameter, _O_CLUSTER_DIAMETER),
+    "bcubed_quality": (_q_bcubed_quality, _O_BCUBED_QUALITY),
     "incremental_linkage": (_q_incremental_linkage,
                             _O_INCREMENTAL_LINKAGE),
     "stream_incremental_linkage": (_q_stream_incremental_linkage,

@@ -173,3 +173,38 @@ fsm AS (SELECT id_a, id_b FROM fsdec WHERE decision = 'match')"""
     assert q2[3] >= q1[3], (q1, q2)   # precision does not drop
     assert q2[4] >= q1[4], (q1, q2)   # recall does not fall
     assert q2[5] > q1[5], (q1, q2)    # F1 strictly improves here
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_bcubed_matches_independent_python(sf_dir):
+    """bcubed_quality's floor-scaled integer formulation must agree with
+    a from-the-definition Python B³ (per-item mean of |C∩L|/|C| and
+    |C∩L|/|L|) to within the declared floor-error bound (#cells / 10⁹),
+    and witness the north-rule regime: complete B³ recall (truth pairs
+    are a subset of predicted pairs, so every entity lands in one
+    cluster) with B³ precision ≥ 0.99."""
+    from collections import Counter
+
+    from spellchecker_wasm_spark.queries import (
+        _LK_SQL_CC, _LK_SQL_FIXTURE)
+
+    con = _con(sf_dir)
+    asg = con.sql("WITH RECURSIVE" + _LK_SQL_FIXTURE + _LK_SQL_CC
+                  + "SELECT node, component FROM asg").fetchall()
+    comp = {n: c for n, c in asg}
+    n_p = Counter(comp.values())
+    n_t = Counter(n // 10 for n in comp)
+    cells = Counter((c, n // 10) for n, c in comp.items())
+    n = len(comp)
+    bp = sum(v * v / n_p[c] for (c, e), v in cells.items()) / n
+    br = sum(v * v / n_t[e] for (c, e), v in cells.items()) / n
+
+    row = con.sql(CATALOG["bcubed_quality"][1]).fetchone()
+    n_items, bp_ppb, br_ppb, p, r, f1 = row
+    assert n_items == n
+    tol = len(cells) / 1e9
+    assert abs(p - bp) <= tol, (p, bp)
+    assert abs(r - br) <= tol, (r, br)
+    assert r == 1.0, r
+    assert 0.99 <= p <= 1.0, p   # sf0.001 clusters perfectly; sf0.01 has
+    # the one known transitive glue (cluster_f1's precision dip)
