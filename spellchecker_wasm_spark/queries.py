@@ -4325,10 +4325,10 @@ def _lk_pages(spark, sf_dir):
                     F.col("x.t").alias("title")))
 
 
-def _lk_scored(spark, sf_dir):
-    """(pages, scored): scored candidate pairs (id_a, id_b, term_a,
-    term_b, distance) from the REAL blocking + verification operators
-    over the labeled fixture.
+def _lk_cand(spark, sf_dir):
+    """(pages, pairs): UNVERIFIED candidate pairs (id_a, id_b, term_a,
+    term_b) from the REAL blocking operators over the labeled fixture —
+    the pre-verification stage fs_calibration audits.
 
     Blocking uses the pipeline's hash-direct key generator
     (functions/delete_hash_expr): block keys are 64-bit hashes emitted
@@ -4351,8 +4351,16 @@ def _lk_scored(spark, sf_dir):
                        F.col("title").alias("term"))
     pairs = candidate_pairs(pb, id_col="page_id", term_col="term",
                             max_len_diff=2, dim=dim, len_col="tl")
-    scored = score_pairs(pairs, max_distance=2)
-    return pages, scored
+    return pages, pairs
+
+
+def _lk_scored(spark, sf_dir):
+    """(pages, scored): scored candidate pairs (id_a, id_b, term_a,
+    term_b, distance) — _lk_cand's blocking output through the
+    verification stage (banded OSA ≤ 2 with the lossless JVM
+    Levenshtein prefilter)."""
+    pages, pairs = _lk_cand(spark, sf_dir)
+    return pages, score_pairs(pairs, max_distance=2)
 
 
 def _lk_pred(spark, sf_dir):
@@ -5101,6 +5109,74 @@ FROM a
 """)
 
 
+def _q_ari_quality(spark, sf_dir):
+    """Adjusted Rand Index of the predicted clustering vs the truth
+    partition — the chance-corrected PAIR-counting twin of bcubed
+    (Hubert & Arabie 1985): ARI = (a − b·c/n₂) / ((b+c)/2 − b·c/n₂)
+    with a = Σ_cells C(n_pt,2), b = Σ_pred C(n_p,2), c = Σ_truth
+    C(n_t,2), n₂ = C(N,2).  Multiplying through by 2·n₂ keeps every
+    intermediate an exact BIGINT on both engines:
+        ari = 2(n₂a − bc) / (n₂(b+c) − 2bc)
+    — the numerator/denominator are emitted as columns and the ARI is
+    ONE division of those integers (the catalog's float discipline).
+    C(k,2) = (k·(k−1)) div 2 is exact (the product is always even).
+
+    Overflow bound: n₂(b+c) ≤ N²·(b+c)/2; with the fixture's O(3)
+    cluster sizes b+c ≈ 2N, so BIGINT holds to N ≈ 2·10⁵ squared·N ...
+    concretely 18k pages at sf0.1 gives ~5.8·10¹²; the formulation is
+    safe below N ≈ 10⁶ and a production run beyond that promotes the
+    two columns to DOUBLE (noted, not needed at catalog SFs).
+
+    Scale shape: identical to bcubed_quality — one cells aggregation
+    over the assignments, two re-aggregations of the tiny cells table,
+    three single-row reductions cross-joined at the end."""
+    pages, asg = _lk_cc_asg(spark, sf_dir)
+    cells = (asg.withColumn("entity", F.expr("page_id div 10"))
+             .groupBy("component", "entity")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n_pt")))
+    c2 = "(x * (x - 1)) div 2"
+    a_ = cells.agg(
+        F.sum("n_pt").cast("bigint").alias("n_items"),
+        F.sum(F.expr(c2.replace("x", "n_pt"))).cast("bigint").alias("a"))
+    b_ = (cells.groupBy("component").agg(F.sum("n_pt").alias("x"))
+          .agg(F.sum(F.expr(c2)).cast("bigint").alias("b")))
+    c_ = (cells.groupBy("entity").agg(F.sum("n_pt").alias("x"))
+          .agg(F.sum(F.expr(c2)).cast("bigint").alias("c")))
+    j = a_.crossJoin(b_).crossJoin(c_)
+    return (j.withColumn("n2", F.expr("(n_items * (n_items - 1)) div 2"))
+            .select("n_items", "a", "b", "c",
+                    F.expr("2 * (n2 * a - b * c)").cast("bigint")
+                    .alias("ari_num"),
+                    F.expr("n2 * (b + c) - 2 * b * c").cast("bigint")
+                    .alias("ari_den"))
+            .withColumn("ari", F.col("ari_num") / F.col("ari_den")))
+
+
+_O_ARI_QUALITY = ("WITH RECURSIVE" + _LK_SQL_FIXTURE + _LK_SQL_CC + """,
+cells AS (SELECT component, node // 10 AS entity,
+                 CAST(count(*) AS BIGINT) AS n_pt
+          FROM asg GROUP BY component, node // 10),
+aa AS (SELECT CAST(sum(n_pt) AS BIGINT) AS n_items,
+              CAST(sum((n_pt * (n_pt - 1)) // 2) AS BIGINT) AS a
+       FROM cells),
+bb AS (SELECT CAST(sum((x * (x - 1)) // 2) AS BIGINT) AS b
+       FROM (SELECT CAST(sum(n_pt) AS BIGINT) AS x
+             FROM cells GROUP BY component)),
+cc2 AS (SELECT CAST(sum((x * (x - 1)) // 2) AS BIGINT) AS c
+        FROM (SELECT CAST(sum(n_pt) AS BIGINT) AS x
+              FROM cells GROUP BY entity)),
+f AS (SELECT n_items, a, b, c,
+             (n_items * (n_items - 1)) // 2 AS n2
+      FROM aa, bb, cc2)
+SELECT n_items, a, b, c,
+       CAST(2 * (n2 * a - b * c) AS BIGINT) AS ari_num,
+       CAST(n2 * (b + c) - 2 * b * c AS BIGINT) AS ari_den,
+       CAST(2 * (n2 * a - b * c) AS BIGINT)
+           / CAST(n2 * (b + c) - 2 * b * c AS BIGINT) AS ari
+FROM f
+""")
+
+
 # the incremental batch: a FOURTH variant per entity (a deletion at a
 # position provably distinct from v1's: d3 = d1 % 8 + 1 ≠ d1), page_id
 # p_partkey*10 + 3 — arrives AFTER the corpus was clustered
@@ -5732,6 +5808,89 @@ FROM fsdec
 """)
 
 
+# calibration band width and offset (milli-bits).  The offset shifts
+# weights non-negative BEFORE integer division — Spark's `div` truncates
+# toward zero while DuckDB's `//` floors, so the two only agree on
+# non-negative operands; |weight_mb| < 4·20000 (each comparator's
+# milli-bit magnitude is bounded by 1000·log2(10⁶) ≈ 19931 via the ppm
+# clamp), so +1_000_000 (a multiple of the band width, keeping band
+# edges round) is unreachable headroom.
+_FS_CAL_BAND = 2000
+_FS_CAL_OFFSET = 1_000_000
+
+
+def _q_fs_calibration(spark, sf_dir):
+    """Reliability curve for the Fellegi-Sunter weights over ALL
+    candidate pairs: bucket every BLOCKED pair — before the OSA ≤ 2
+    verification filter, because in production the FS decision REPLACES
+    that hard filter — by its match weight (2000-milli-bit = 2-bit
+    log-odds bands) and report each band's EMPIRICAL precision against
+    labeled truth.  This is the calibration audit run before trusting
+    the thresholds, and on this fixture it reads two ways: every false
+    candidate (blocking collision) lands strictly below the zero cut —
+    the weights never mis-RANK, so 'match' and 'possible' run at
+    precision 1.0 — while the deep-negative bands still hold a majority
+    of true matches, i.e. the r1 PRIORS are miscalibrated in the
+    pessimistic direction.  That second reading is the quantified
+    motivation for the EM loop: fs_round2's re-derived weights lift
+    those pairs out of the reject region (match-band recall 0.50→0.72).
+
+    The banded scorer yields NULL beyond its window; coalescing to 999
+    preserves the osa comparator's truth value (banded NULL ⟺ true
+    OSA > 2 ⟹ 'osa ≤ 1' is false either way), which is why the oracle
+    may use DuckDB's unbanded damerau_levenshtein in the same predicate.
+
+    Scale shape: the one catalog query that deliberately pays the full
+    candidate volume through the Arrow exchange (no lossless JVM
+    prefilter — sub-threshold pairs are exactly the negative class
+    being calibrated); after scoring, a broadcast-sized truth join on
+    (long, long) and ONE combine-reduced aggregation keyed by the
+    handful of populated bands.  Production caps this with the same
+    hot-bucket discipline as blocking, or calibrates on a sample."""
+    pages, pairs = _lk_cand(spark, sf_dir)
+    scored_all = score_pairs(pairs, max_distance=2,
+                             keep_above_threshold=True)
+    scored_all = scored_all.withColumn(
+        "distance", F.coalesce(F.col("distance"), F.lit(999)))
+    fs = _fs_decision_df(scored_all, _FS_WEIGHTS)
+    truth = _lk_truth(pages)
+    j = fs.join(truth, ["id_a", "id_b"], "left")
+    band_lo = F.expr(
+        f"((weight_mb + {_FS_CAL_OFFSET}) div {_FS_CAL_BAND})"
+        f" * {_FS_CAL_BAND} - {_FS_CAL_OFFSET}")
+    return (j.groupBy(band_lo.cast("bigint").alias("band_lo_mb"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+                 F.sum(F.coalesce(F.col("it"), F.lit(0)))
+                 .cast("bigint").alias("n_tp"))
+            .withColumn("precision", F.col("n_tp") / F.col("n_pairs")))
+
+
+# the same decision chain WITHOUT the verification filter — fsfeat keeps
+# every blocked candidate (fs_calibration's population)
+_FS_SQL_DEC_ALL = _FS_SQL_DEC.replace(
+    "FROM cand WHERE damerau_levenshtein(ta, tb) <= 2", "FROM cand")
+assert _FS_SQL_DEC_ALL != _FS_SQL_DEC  # replace() must fire
+
+_O_FS_CALIBRATION = ("WITH RECURSIVE" + _LK_SQL_FIXTURE
+                     + _FS_SQL_DEC_ALL + f""",
+truth AS (SELECT a.page_id AS id_a, b.page_id AS id_b
+          FROM pages a JOIN pages b
+            ON a.page_id // 10 = b.page_id // 10
+           AND a.page_id < b.page_id),
+jt AS (SELECT f.weight_mb,
+              CASE WHEN t.id_a IS NOT NULL THEN 1 ELSE 0 END AS it
+       FROM fsdec f LEFT JOIN truth t
+         ON f.id_a = t.id_a AND f.id_b = t.id_b)
+SELECT CAST(((weight_mb + {_FS_CAL_OFFSET}) // {_FS_CAL_BAND})
+            * {_FS_CAL_BAND} - {_FS_CAL_OFFSET} AS BIGINT) AS band_lo_mb,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(it) AS BIGINT) AS n_tp,
+       CAST(sum(it) AS BIGINT) / CAST(count(*) AS BIGINT) AS precision
+FROM jt
+GROUP BY 1
+""")
+
+
 def _q_scored_pairs_jaro(spark, sf_dir):
     """Jaro-Winkler pair scoring — the similarity production ER pairs
     with an edit-distance scorer for short name-like fields (here the
@@ -6288,6 +6447,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     "cluster_stats": (_q_cluster_stats, _O_CLUSTER_STATS),
     "cluster_diameter": (_q_cluster_diameter, _O_CLUSTER_DIAMETER),
     "bcubed_quality": (_q_bcubed_quality, _O_BCUBED_QUALITY),
+    "ari_quality": (_q_ari_quality, _O_ARI_QUALITY),
     "incremental_linkage": (_q_incremental_linkage,
                             _O_INCREMENTAL_LINKAGE),
     "stream_incremental_linkage": (_q_stream_incremental_linkage,
@@ -6298,6 +6458,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     "fs_em_step": (_q_fs_em_step, _O_FS_EM_STEP),
     "fs_quality": (_q_fs_quality, _O_FS_QUALITY),
     "fs_round2": (_q_fs_round2, _o_fs_round2),
+    "fs_calibration": (_q_fs_calibration, _O_FS_CALIBRATION),
     "snm_pairs": (_q_snm_pairs, _o_snm_pairs()),
     "snm_multikey_pairs": (_q_snm_multikey_pairs, _O_SNM_MULTIKEY),
     "blocking_compare": (_q_blocking_compare, _O_BLOCKING_COMPARE),

@@ -208,3 +208,45 @@ def test_bcubed_matches_independent_python(sf_dir):
     assert r == 1.0, r
     assert 0.99 <= p <= 1.0, p   # sf0.001 clusters perfectly; sf0.01 has
     # the one known transitive glue (cluster_f1's precision dip)
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_ari_consistent_with_bcubed(sf_dir):
+    """ARI and B³ must agree on the regime: a perfect clustering gives
+    both exactly 1.0; an imperfect one pushes both strictly below 1.0
+    (they penalize the same over-merges through different lenses).  Also
+    re-derives ARI from its integer components to pin the single-division
+    contract."""
+    con = _con(sf_dir)
+    n_items, a, b, c, num, den, ari = con.sql(
+        CATALOG["ari_quality"][1]).fetchone()
+    n2 = n_items * (n_items - 1) // 2
+    assert num == 2 * (n2 * a - b * c)
+    assert den == n2 * (b + c) - 2 * b * c
+    assert ari == num / den
+    bq = con.sql(CATALOG["bcubed_quality"][1]).fetchone()
+    perfect_b3 = bq[3] == 1.0 and bq[4] == 1.0
+    assert (ari == 1.0) == perfect_b3, (ari, bq)
+    assert 0.99 <= ari <= 1.0, ari
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_fs_calibration_ranks_cleanly(sf_dir):
+    """The calibration curve's two fixture findings, pinned: (1) the
+    weights never mis-rank — every band at or above the zero cut has
+    empirical precision exactly 1.0 (all blocking collisions land
+    strictly negative), so 'match' and 'possible' are pure; (2) the r1
+    priors ARE pessimistically miscalibrated — at least one negative
+    band still holds true matches (the pairs fs_round2's re-derived
+    weights recover).  Population check: the bands partition ALL blocked
+    candidates, a strict superset of the verified pairs fellegi_sunter
+    decides."""
+    con = _con(sf_dir)
+    rows = sorted(con.sql(CATALOG["fs_calibration"][1]).fetchall())
+    assert all(prec == 1.0 for lo, n, tp, prec in rows if lo >= 0), rows
+    assert any(tp > 0 for lo, n, tp, prec in rows if lo < 0), rows
+    n_cand = sum(n for _, n, _, _ in rows)
+    n_verified = con.sql(
+        f"SELECT count(*) FROM ({CATALOG['fellegi_sunter'][1]})"
+    ).fetchone()[0]
+    assert n_cand > n_verified, (n_cand, n_verified)
