@@ -5649,7 +5649,14 @@ def _q_fs_em_step(spark, sf_dir):
     Scale shape: the fellegi_sunter projection followed by ONE
     4-row-output aggregation — a map-side-combined global agg (sums of
     0/1 ints), then a 4-way stack; nothing else crosses an exchange."""
-    fs = _q_fellegi_sunter(spark, sf_dir)
+    return _fs_em_step_from(_q_fellegi_sunter(spark, sf_dir))
+
+
+def _fs_em_step_from(fs):
+    """M-step aggregation over an already-built fellegi_sunter decision
+    DataFrame — split out so fs_round2 can run the EM pass and the
+    re-decide pass over ONE materialized scored subtree instead of
+    rebuilding blocking + scoring twice."""
     agg = fs.agg(
         F.sum((F.col("decision") == "match").cast("bigint"))
         .alias("n_match"),
@@ -5776,13 +5783,23 @@ def _q_fs_round2(spark, sf_dir):
     log-odds are scale-free, so the cut is comparable across
     iterations.
 
-    Scale shape: two scoring passes (the EM agg pass + the re-decide
-    pass) — exactly the per-iteration cost of production EM linkage;
-    each pass is the fellegi_sunter plan, nothing new crosses an
-    exchange."""
-    em = [r.asDict() for r in _q_fs_em_step(spark, sf_dir).collect()]
-    weights = _fs_weights_from_ppm(em)
+    Scale shape: blocking + scoring run ONCE — the scored pairs are
+    localCheckpoint'ed (lazily; the EM collect materializes them) and
+    both the EM aggregation and the re-decide projection read the
+    materialized subtree, so the second pass costs only a codegen
+    projection over cached rows.  localCheckpoint over persist():
+    storage is reclaimed by the ContextCleaner when the returned frame
+    is dropped, instead of leaking a CacheManager entry into the rest
+    of the session; a multi-iteration production EM swaps it for a
+    reliable checkpoint() per iteration (executor loss then replays
+    from the checkpoint, and it doubles as the lineage truncation an
+    iterative plan needs anyway)."""
     _, scored = _lk_scored(spark, sf_dir)
+    scored = scored.localCheckpoint(eager=False)
+    em = [r.asDict() for r in
+          _fs_em_step_from(_fs_decision_df(scored, _FS_WEIGHTS))
+          .collect()]
+    weights = _fs_weights_from_ppm(em)
     return _fs_decision_df(scored, weights).select(
         "id_a", "id_b", "weight_mb", "decision")
 
