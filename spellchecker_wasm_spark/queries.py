@@ -5688,7 +5688,9 @@ def _fs_em_step_from(fs):
         .alias("u_ppm"))
 
 
-_O_FS_EM_STEP = ("WITH RECURSIVE" + _LK_SQL_FIXTURE + _FS_SQL_DEC + """,
+# EM M-step SQL suffix over an fsdec chain — shared by the fixed-weight
+# oracle and the per-iteration SQL of the convergence loop
+_FS_SQL_EM_SUFFIX = """,
 tot AS (SELECT
     sum(CASE WHEN decision = 'match' THEN 1 ELSE 0 END) AS n_match,
     sum(CASE WHEN decision = 'non_match' THEN 1 ELSE 0 END)
@@ -5724,7 +5726,10 @@ SELECT comparator,
        CAST(agree_match * 1000000 // n_match AS BIGINT) AS m_ppm,
        CAST(agree_nonmatch * 1000000 // n_nonmatch AS BIGINT) AS u_ppm
 FROM u
-""")
+"""
+
+_O_FS_EM_STEP = ("WITH RECURSIVE" + _LK_SQL_FIXTURE + _FS_SQL_DEC
+                 + _FS_SQL_EM_SUFFIX)
 
 
 def _q_fs_quality(spark, sf_dir):
@@ -5821,6 +5826,85 @@ def _o_fs_round2(sf_dir: str) -> str:
     return ("WITH RECURSIVE" + _LK_SQL_FIXTURE + _fs_sql_dec(weights) + """
 SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
        weight_mb, decision
+FROM fsdec
+""")
+
+
+# EM iteration cap.  The weight space is a finite integer lattice and in
+# practice the loop fixpoints in 2-4 iterations on this fixture; the cap
+# only guards a (theoretically possible) 2-cycle from looping forever.
+_FS_MAX_EM_ITERS = 10
+
+_FS_EM_COLS = ("comparator", "n_match", "agree_match", "n_nonmatch",
+               "agree_nonmatch", "m_ppm", "u_ppm")
+
+
+def _fs_em_fixpoint(em_rows_fn, w0):
+    """Iterate weights → M-step → weights until the INTEGER weight
+    vector stops changing (or _FS_MAX_EM_ITERS).  Both engines run this
+    exact function over their own M-step evaluator; because every
+    iteration's ppm values are exact integers proven equal across
+    engines (fs_em_step's green row), the weight SEQUENCE — and
+    therefore the fixpoint and the iteration count — is identical by
+    induction.  Returns (weights, n_iters_run)."""
+    weights = {k: tuple(v) for k, v in w0.items()}
+    for i in range(1, _FS_MAX_EM_ITERS + 1):
+        w2 = _fs_weights_from_ppm(em_rows_fn(weights))
+        if w2 == weights:
+            return weights, i
+        weights = w2
+    return weights, _FS_MAX_EM_ITERS
+
+
+def _q_fs_converged(spark, sf_dir):
+    """The EM loop run to CONVERGENCE: iterate decision → M-step →
+    re-derived integer weights until the weight vector fixpoints, then
+    emit the final decisions (plus the iteration count, so the oracle
+    row also pins that both engines converge along the same path in the
+    same number of steps).  fs_round2 pins one iteration's mechanics;
+    this is the operating form — production runs exactly this loop and
+    then freezes the weights into the scoring layer.
+
+    Scale shape: blocking + scoring run ONCE (the same lazily
+    localCheckpoint'ed subtree as fs_round2); each EM iteration is a
+    codegen agreement projection + one 4-row map-side-combined
+    aggregation over the cached pairs, and the driver state is the
+    4-comparator integer weight vector — O(1) regardless of corpus
+    size.  Iterations are inherently sequential (EM is); the per-
+    iteration cost is the minimum any EM linkage pays."""
+    _, scored = _lk_scored(spark, sf_dir)
+    scored = scored.localCheckpoint(eager=False)
+
+    def em_rows(w):
+        return [r.asDict() for r in
+                _fs_em_step_from(_fs_decision_df(scored, w)).collect()]
+
+    weights, n = _fs_em_fixpoint(em_rows, _FS_WEIGHTS)
+    return (_fs_decision_df(scored, weights)
+            .select("id_a", "id_b", "weight_mb", "decision")
+            .withColumn("n_iters", F.lit(n).cast("int")))
+
+
+def _o_fs_converged(sf_dir: str) -> str:
+    """Oracle for fs_converged: run the identical fixpoint loop with
+    DuckDB as the M-step evaluator and emit the shared decision chain
+    under the converged weights."""
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+                f"'{sf_dir}/{t}.parquet'")
+
+    def em_rows(w):
+        sql = ("WITH RECURSIVE" + _LK_SQL_FIXTURE + _fs_sql_dec(w)
+               + _FS_SQL_EM_SUFFIX)
+        return [dict(zip(_FS_EM_COLS, r)) for r in con.sql(sql).fetchall()]
+
+    weights, n = _fs_em_fixpoint(em_rows, _FS_WEIGHTS)
+    return ("WITH RECURSIVE" + _LK_SQL_FIXTURE + _fs_sql_dec(weights) + f"""
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       weight_mb, decision, CAST({n} AS INTEGER) AS n_iters
 FROM fsdec
 """)
 
@@ -6476,6 +6560,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     "fs_quality": (_q_fs_quality, _O_FS_QUALITY),
     "fs_round2": (_q_fs_round2, _o_fs_round2),
     "fs_calibration": (_q_fs_calibration, _O_FS_CALIBRATION),
+    "fs_converged": (_q_fs_converged, _o_fs_converged),
     "snm_pairs": (_q_snm_pairs, _o_snm_pairs()),
     "snm_multikey_pairs": (_q_snm_multikey_pairs, _O_SNM_MULTIKEY),
     "blocking_compare": (_q_blocking_compare, _O_BLOCKING_COMPARE),

@@ -250,3 +250,46 @@ def test_fs_calibration_ranks_cleanly(sf_dir):
         f"SELECT count(*) FROM ({CATALOG['fellegi_sunter'][1]})"
     ).fetchone()[0]
     assert n_cand > n_verified, (n_cand, n_verified)
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_fs_converged_fixpoint_quality(sf_dir):
+    """The converged EM decision must (1) actually fixpoint before the
+    iteration cap, (2) drain the clerical band (a fixpoint that still
+    abstains hasn't converged in any useful sense on this fixture), and
+    (3) end at least as good as iteration 2 on the match band (F1
+    non-decreasing vs fs_round2's pinned reading), with precision
+    intact."""
+    from spellchecker_wasm_spark.queries import (
+        _FS_MAX_EM_ITERS, _LK_SQL_FIXTURE, _fs_sql_dec,
+        _fs_weights_from_ppm, _lk_sql_metrics)
+
+    con = _con(sf_dir)
+    sql = CATALOG["fs_converged"][1](sf_dir)
+    bands = dict(con.sql(
+        f"SELECT decision, count(*) FROM ({sql}) GROUP BY 1").fetchall())
+    n_iters = con.sql(f"SELECT min(n_iters) FROM ({sql})").fetchone()[0]
+    assert n_iters < _FS_MAX_EM_ITERS, n_iters
+    assert "possible" not in bands, bands
+
+    # match-band metrics at the fixpoint vs at round 2
+    from spellchecker_wasm_spark.queries import (
+        _FS_EM_COLS, _FS_SQL_EM_SUFFIX, _FS_WEIGHTS, _fs_em_fixpoint)
+
+    def em_rows(w):
+        s = ("WITH RECURSIVE" + _LK_SQL_FIXTURE + _fs_sql_dec(w)
+             + _FS_SQL_EM_SUFFIX)
+        return [dict(zip(_FS_EM_COLS, r)) for r in con.sql(s).fetchall()]
+
+    w_star, _ = _fs_em_fixpoint(em_rows, _FS_WEIGHTS)
+    w_r2 = _fs_weights_from_ppm(em_rows(_FS_WEIGHTS))
+
+    def match_metrics(w):
+        return con.sql(
+            "WITH RECURSIVE" + _LK_SQL_FIXTURE + _fs_sql_dec(w) + """,
+fsm AS (SELECT id_a, id_b FROM fsdec WHERE decision = 'match')"""
+            + _lk_sql_metrics("fsm")).fetchone()
+
+    m2, mstar = match_metrics(w_r2), match_metrics(w_star)
+    assert mstar[5] >= m2[5], (m2, mstar)      # F1 non-decreasing
+    assert mstar[3] >= 0.99, mstar             # precision holds
