@@ -110,6 +110,26 @@ def test_fellegi_sunter_pure_codegen_decision_layer(spark):
     assert "BroadcastNestedLoop" not in plan_fs, plan_fs
 
 
+def test_bloom_prefilter_sits_under_the_join(spark):
+    # the hand-rolled runtime Bloom filter must prune the probe side
+    # BEFORE the equi-join: the 1-row bitmap attaches via a broadcast
+    # nested-loop (the only sanctioned BNLJ in the catalog — one row by
+    # construction), the bit-test filter is pure codegen (no Python),
+    # and exactly one equi-join remains above it
+    plan = _plan(spark, "bloom_prefilter_join")
+    assert "EvalPython" not in plan, plan
+    assert _count(plan, "BroadcastNestedLoopJoin") == 1, plan
+    assert "CartesianProduct" not in plan, plan
+    # bitmap probe (shiftright bit test) appears below the hash join:
+    # the BNLJ bitmap attach must be a descendant of the equi-join side
+    hash_join_at = plan.find("Join LeftSemi") if "LeftSemi" in plan \
+        else plan.find("HashJoin")
+    bnlj_at = plan.find("BroadcastNestedLoopJoin")
+    assert 0 <= hash_join_at < bnlj_at, plan
+    # the build-side selective filters reach the orders scan
+    assert "EqualTo(o_orderpriority,1-URGENT)" in plan, plan
+
+
 def test_fs_em_step_single_global_agg(spark):
     # M-step = one map-combined global aggregate (partial+final pair)
     # then a constant-width stack; no join, no Python above the fixture
