@@ -3630,17 +3630,6 @@ GROUP BY r_name, n_name
 """
 
 
-_BLOOM_M = 1 << 17            # bloom bits (16 KiB — broadcast-trivial)
-_BLOOM_WORDS = _BLOOM_M >> 6  # 64-bit words
-
-
-def _bloom_hashes(key_col):
-    """Two independent bit positions in [0, _BLOOM_M) for a k=2 Bloom
-    filter, both pure-JVM: xxhash64(key) and xxhash64(key, salt)."""
-    return (F.pmod(F.xxhash64(key_col), F.lit(_BLOOM_M)),
-            F.pmod(F.xxhash64(key_col, F.lit(1)), F.lit(_BLOOM_M)))
-
-
 def _q_bloom_prefilter_join(spark, sf_dir):
     """Runtime Bloom-filter join pruning, hand-rolled in public DataFrame
     API — the technique Spark's own InjectRuntimeFilter applies at 100 TB
@@ -3666,36 +3655,15 @@ def _q_bloom_prefilter_join(spark, sf_dir):
     tests/test_plan_shapes.py: the bitmap probe sits UNDER the join (a
     BroadcastNestedLoopJoin of a 1-row aggregate), and the final join sees
     only prefiltered input."""
+    from .operators.bloomjoin import bloom_bitmap, bloom_prefilter
+
     orders = load(spark, sf_dir, "orders").where(
         (F.col("o_orderpriority") == "1-URGENT")
         & (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
         & (F.col("o_orderdate") < F.lit("1997-01-01").cast("date")))
     li = load(spark, sf_dir, "lineitem")
-
-    h1, h2 = _bloom_hashes(F.col("o_orderkey"))
-    bit_rows = [
-        orders.select(h.alias("h"))
-        .select(F.expr("CAST(shiftright(h, 6) AS INT)").alias("w"),
-                F.expr("shiftleft(1L, CAST(pmod(h, 64) AS INT))")
-                .alias("bit"))
-        for h in (h1, h2)]
-    words = (bit_rows[0].unionAll(bit_rows[1])
-             .groupBy("w").agg(F.bit_or("bit").alias("mask")))
-    bloom = words.agg(F.map_from_entries(
-        F.collect_list(F.struct("w", "mask"))).alias("bm"))
-
-    p1, p2 = _bloom_hashes(F.col("l_orderkey"))
-
-    def _hit(h):
-        return F.expr(
-            f"(shiftright(coalesce(try_element_at("
-            f"bm, CAST(shiftright({h}, 6) AS INT)), 0L),"
-            f" CAST(pmod({h}, 64) AS INT)) & 1L) = 1L")
-
-    probe = (li.crossJoin(F.broadcast(bloom))  # 1-row bitmap attach
-             .withColumn("_h1", p1).withColumn("_h2", p2)
-             .where(_hit("_h1") & _hit("_h2"))
-             .drop("bm", "_h1", "_h2"))
+    probe = bloom_prefilter(li, bloom_bitmap(orders, "o_orderkey"),
+                            "l_orderkey")
     j = probe.join(orders, probe.l_orderkey == orders.o_orderkey)
     return (j.groupBy(F.date_trunc("month", "o_orderdate")
                       .cast("date").alias("month"))

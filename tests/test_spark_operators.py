@@ -425,3 +425,44 @@ def test_weighted_candidate_pairs_counts_shared_keys(spark):
            for r in weighted_candidate_pairs(
                blocks, id_col="id", min_weight=2).collect()}
     assert got == {(1, 2): 2}
+
+
+def test_bloom_prefilter_never_drops_inserted_keys(spark):
+    # structural Bloom property: membership of an inserted key is always
+    # positive (both sides compute identical bit positions) — adversarial
+    # keys incl. negatives, 0, extremes, and hash-sign variety
+    from spellchecker_wasm_spark.operators.bloomjoin import (
+        bloom_bitmap, bloom_prefilter)
+
+    keys = [0, -1, 1, 2**62, -(2**62), 63, 64, 65, 12345678901234567]
+    build = spark.createDataFrame([Row(k=k) for k in keys])
+    probe = spark.createDataFrame(
+        [Row(k=k, v=i) for i, k in enumerate(keys + [7, 8, 9] * 5)])
+    bm = bloom_bitmap(build, "k", bits=1 << 10)
+    kept = {r["k"] for r in bloom_prefilter(probe, bm, "k",
+                                            bits=1 << 10).collect()}
+    assert set(keys) <= kept  # zero false negatives, ever
+
+
+def test_bloom_prefilter_empty_build_rejects_all(spark):
+    # empty build → empty map (not null) → every probe row rejected,
+    # matching the exact join's empty result
+    from spellchecker_wasm_spark.operators.bloomjoin import (
+        bloom_bitmap, bloom_prefilter)
+
+    build = spark.createDataFrame([Row(k=1)]).where(F.lit(False))
+    probe = spark.createDataFrame([Row(k=k) for k in range(50)])
+    bm = bloom_bitmap(build, "k")
+    assert bloom_prefilter(probe, bm, "k").count() == 0
+
+
+def test_bloom_prefilter_rejects_most_non_members(spark):
+    # the filter must actually filter: with 32 keys in 2^14 bits the FP
+    # rate is ~2e-5 — of 5000 non-members, essentially all must die
+    from spellchecker_wasm_spark.operators.bloomjoin import (
+        bloom_bitmap, bloom_prefilter)
+
+    build = spark.range(0, 32).withColumnRenamed("id", "k")
+    probe = spark.range(1000, 6000).withColumnRenamed("id", "k")
+    bm = bloom_bitmap(build, "k", bits=1 << 14)
+    assert bloom_prefilter(probe, bm, "k", bits=1 << 14).count() <= 5
