@@ -136,3 +136,34 @@ def test_fs_em_step_single_global_agg(spark):
     plan = _plan(spark, "fs_em_step")
     assert _count(plan, "ArrowEvalPython") == 1, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+# catalog entries that EXECUTE work on construction (streaming memory
+# sinks, EM collect loops, checkpoint/sink round-trips) — their batch
+# plans are audited in scripts/audit_plans.py + PLANS.md instead of here
+_EAGER = ("stream_", "fs_round2", "fs_converged", "checkpoint_resume",
+          "stage_lineage", "sink_", "source_", "incremental_linkage")
+
+
+def test_catalog_global_plan_invariants(spark):
+    """The two invariants every batch plan in the catalog must hold at
+    any scale: no row-at-a-time Python (BatchEvalPython — Arrow only)
+    and no unbounded cartesian product (CartesianProduct; the catalog's
+    BroadcastNestedLoopJoins are constant-size attaches, audited in
+    PLANS_TABLE.md).  Builds every lazy entry's executed plan — plan
+    construction only, no jobs."""
+    from spellchecker_wasm_spark.queries import CATALOG
+
+    offenders = {}
+    for name in sorted(CATALOG):
+        if any(name.startswith(p) or name == p.rstrip("_")
+               for p in _EAGER):
+            continue
+        plan = (CATALOG[name][0](spark, SF_DIR)
+                ._jdf.queryExecution().executedPlan().toString())
+        bad = {n: plan.count(n)
+               for n in ("BatchEvalPython", "CartesianProduct")
+               if n in plan}
+        if bad:
+            offenders[name] = bad
+    assert not offenders, offenders
