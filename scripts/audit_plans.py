@@ -90,12 +90,7 @@ def main() -> int:
            "|---|---|---|---|---|---|---|---|---|---|---|---|---|---|---|---|"]
     for name, c in rows:
         if c is None:
-            out.append(f"| {name} | — | — | — | — | — | — | — | — | — |"
-                       f" — | — | — | — | — | — | *stateful streaming —"
-                       f" executes on build; audited in PLANS.md* |"
-                       .replace(" | *", " | *").replace("| — | *", "| *")
-                       if False else
-                       f"| {name} | *stateful streaming — audited in"
+            out.append(f"| {name} | *stateful streaming — audited in"
                        f" PLANS.md / tests/test_streaming.py* |"
                        + " |" * 14)
             continue
