@@ -655,6 +655,87 @@ FROM st, tri
 """
 
 
+_ME_TOKEN_CAP = 12  # leading-token window, applied on BOTH engines
+
+
+def _q_scored_pairs_monge_elkan(spark, sf_dir):
+    """Monge-Elkan token-set comparator (Monge & Elkan, KDD 1996) as a
+    second-level re-ranker over the shingle-blocked candidate pairs:
+    ME(A→B) = mean over A's tokens of the best normalized-Levenshtein
+    similarity against B's tokens — the classic ER comparator for
+    multi-token fields where token order and minor edits both vary
+    (the reference's OSA kernel scores single terms; this is its
+    token-SET counterpart, sym_spell.rs:347 ↔ field-level matching).
+    Emits both directed means and the symmetric mean.
+
+    The entire comparator is nested higher-order functions
+    (``transform``/``array_max``/``aggregate`` with the builtin JVM
+    ``levenshtein`` inside the inner lambda) over two bounded token
+    arrays — zero Python, zero explode: candidate count × cap² bounded
+    work inside one whole-stage-codegen project.
+
+    Cross-engine exactness: both engines take the documents' leading
+    ``_ME_TOKEN_CAP`` whitespace tokens in document order, the inner
+    similarity is ``1.0 - lev/greatest`` (one int-by-double IEEE
+    division), max is order-insensitive over non-negative doubles, and
+    the mean accumulates left-to-right over the same array order
+    (Spark ``aggregate`` seeded 0.0 ≡ DuckDB ``list_reduce``), so the
+    doubles match bit-for-bit.
+
+    Scale shape: the pair stream is the capped inverted-index
+    candidates (bucket-bounded, no quadratic blowup); token arrays
+    attach via two equi-joins on doc_id and never cross an exchange."""
+    pairs = _q_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    toks = F.expr(f"slice(filter(split(text, ' '), x -> x <> ''), 1, "
+                  f"{_ME_TOKEN_CAP})")
+    docs = (load(spark, sf_dir, "documents")
+            .where(F.col("text").isNotNull())
+            .select("doc_id", toks.alias("toks")))
+
+    def me(src, dst):
+        return F.expr(
+            f"aggregate(transform({src}, t -> array_max(transform({dst}, "
+            "u -> 1.0D - levenshtein(t, u) / cast(greatest(length(t), "
+            "length(u)) as double)))), 0D, (acc, x) -> acc + x) "
+            f"/ size({src})")
+
+    j = (pairs
+         .join(docs.select(F.col("doc_id").alias("doc_a"),
+                           F.col("toks").alias("tka")), "doc_a")
+         .join(docs.select(F.col("doc_id").alias("doc_b"),
+                           F.col("toks").alias("tkb")), "doc_b")
+         .select("doc_a", "doc_b", me("tka", "tkb").alias("me_ab"),
+                 me("tkb", "tka").alias("me_ba")))
+    return j.select("doc_a", "doc_b", "me_ab", "me_ba",
+                    ((F.col("me_ab") + F.col("me_ba")) / 2.0)
+                    .alias("me_sym"))
+
+
+_O_SCORED_MONGE_ELKAN = f"""
+WITH P AS (SELECT doc_a, doc_b FROM ({_O_NGRAM_JACCARD})),
+tk AS (SELECT doc_id,
+              list_slice(list_filter(string_split(text, ' '),
+                                     x -> x <> ''),
+                         1, {_ME_TOKEN_CAP}) AS toks
+       FROM documents WHERE text IS NOT NULL),
+j AS (SELECT doc_a, doc_b, a.toks AS tka, b.toks AS tkb
+      FROM P JOIN tk a ON a.doc_id = doc_a
+             JOIN tk b ON b.doc_id = doc_b),
+m AS (SELECT doc_a, doc_b,
+             list_reduce(list_transform(tka, t -> list_max(
+                 list_transform(tkb, u -> 1.0 - levenshtein(t, u)
+                     / CAST(greatest(length(t), length(u)) AS DOUBLE)))),
+                 (acc, x) -> acc + x) / len(tka) AS me_ab,
+             list_reduce(list_transform(tkb, t -> list_max(
+                 list_transform(tka, u -> 1.0 - levenshtein(t, u)
+                     / CAST(greatest(length(t), length(u)) AS DOUBLE)))),
+                 (acc, x) -> acc + x) / len(tkb) AS me_ba
+      FROM j)
+SELECT doc_a, doc_b, me_ab, me_ba, (me_ab + me_ba) / 2.0 AS me_sym
+FROM m
+"""
+
+
 _TFIDF_COS_THRESHOLD = 0.25
 
 
@@ -6656,6 +6737,8 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     "dedup_ngram_jaccard": (_q_dedup_ngram_jaccard, _O_NGRAM_JACCARD),
     "dedup_tfidf_cosine": (_q_dedup_tfidf_cosine, _O_TFIDF_COSINE),
     "graph_triangles": (_q_graph_triangles, _O_GRAPH_TRIANGLES),
+    "scored_pairs_monge_elkan": (_q_scored_pairs_monge_elkan,
+                                 _O_SCORED_MONGE_ELKAN),
     "dup_ngram_spans": (_q_dup_ngram_spans, _O_DUP_NGRAM_SPANS),
     "dup_span_pairs": (_q_dup_span_pairs, _O_DUP_SPAN_PAIRS),
     "dup_span_removal": (_q_dup_span_removal, _O_DUP_SPAN_REMOVAL),

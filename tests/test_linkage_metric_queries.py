@@ -293,3 +293,46 @@ fsm AS (SELECT id_a, id_b FROM fsdec WHERE decision = 'match')"""
     m2, mstar = match_metrics(w_r2), match_metrics(w_star)
     assert mstar[5] >= m2[5], (m2, mstar)      # F1 non-decreasing
     assert mstar[3] >= 0.99, mstar             # precision holds
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_monge_elkan_matches_independent_python(sf_dir):
+    """scored_pairs_monge_elkan's nested-HOF formulation must agree
+    bit-for-bit with a from-the-definition Python Monge-Elkan (mean of
+    per-token best normalized-Levenshtein similarities, same leading-
+    token window, same left-to-right accumulation), and witness the
+    semantic claim: shingle-blocked near-duplicates score high
+    (min me_sym ≥ 0.9) while every value stays within [0, 1]."""
+    from spellchecker_wasm_spark.queries import _ME_TOKEN_CAP
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    def me(src, dst):
+        acc = 0.0
+        for t in src:
+            acc += max(1.0 - lev(t, u) / float(max(len(t), len(u)))
+                       for u in dst)
+        return acc / len(src)
+
+    con = _con(sf_dir)
+    toks = dict(con.sql(
+        f"SELECT doc_id, list_slice(list_filter(string_split(text, ' '), "
+        f"x -> x <> ''), 1, {_ME_TOKEN_CAP}) FROM documents "
+        "WHERE text IS NOT NULL").fetchall())
+    rows = con.sql(CATALOG["scored_pairs_monge_elkan"][1]).fetchall()
+    assert rows
+    for doc_a, doc_b, me_ab, me_ba, me_sym in rows:
+        ta, tb = toks[doc_a], toks[doc_b]
+        assert me_ab == me(ta, tb), (doc_a, doc_b)
+        assert me_ba == me(tb, ta), (doc_a, doc_b)
+        assert me_sym == (me_ab + me_ba) / 2.0
+        assert 0.0 <= me_ab <= 1.0 and 0.0 <= me_ba <= 1.0
+    assert min(r[4] for r in rows) >= 0.9
