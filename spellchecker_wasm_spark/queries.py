@@ -2690,17 +2690,9 @@ _KM_K = 8
 _KM_ITERS = 2
 
 
-def _q_kmeans_lloyd(spark, sf_dir):
-    """2-iteration Lloyd k-means; output is the final assignment
-    (vec_id, cluster, d2).
-
-    Scale shape: the codebook (k rows) is broadcast every iteration —
-    the corpus is never shuffled for assignment; the argmin compiles to
-    WindowGroupLimit (partial top-1 per vec before the exchange); the
-    update step shuffles (cid, dim) partial sums — k·64 accumulators —
-    with map-side combine.  This is exactly how production distributed
-    k-means iterates (broadcast codebook + tree-aggregated sums), minus
-    float nondeterminism."""
+def _km_asg(spark, sf_dir):
+    """Final Lloyd assignment frame (vec_id, cid, v, d2) — shared by
+    kmeans_lloyd (projection) and semdedup (within-cluster pruning)."""
     from pyspark.sql import Window
 
     emb = (load(spark, sf_dir, "embeddings")
@@ -2731,10 +2723,27 @@ def _q_kmeans_lloyd(spark, sf_dir):
                          .alias("arr"))
                     .select("cid", F.expr("transform(arr, p -> p.m)")
                             .alias("c")))
-    return asg.select("vec_id", F.col("cid").alias("cluster"), "d2")
+    return asg
 
 
-def _o_kmeans_lloyd() -> str:
+def _q_kmeans_lloyd(spark, sf_dir):
+    """2-iteration Lloyd k-means; output is the final assignment
+    (vec_id, cluster, d2).
+
+    Scale shape: the codebook (k rows) is broadcast every iteration —
+    the corpus is never shuffled for assignment; the argmin compiles to
+    WindowGroupLimit (partial top-1 per vec before the exchange); the
+    update step shuffles (cid, dim) partial sums — k·64 accumulators —
+    with map-side combine.  This is exactly how production distributed
+    k-means iterates (broadcast codebook + tree-aggregated sums), minus
+    float nondeterminism."""
+    return (_km_asg(spark, sf_dir)
+            .select("vec_id", F.col("cid").alias("cluster"), "d2"))
+
+
+def _o_km_body() -> str:
+    """The Lloyd CTE chain (ends at a{last}: vec_id, cid, v, d2) —
+    shared by the kmeans_lloyd and semdedup oracles."""
     parts = [f"""
 e AS (SELECT vec_id, list_transform(embedding,
              x -> CAST(round(x * 1000) AS BIGINT)) AS v
@@ -2759,9 +2768,84 @@ m{it} AS (SELECT cid, i, sum(val) // count(*) AS m
         FROM p{it} GROUP BY cid, i),
 c{it + 1} AS (SELECT cid, list(CAST(m AS BIGINT) ORDER BY i) AS c
         FROM m{it} GROUP BY cid)""")
-    body = ",".join(parts)
-    return (f"WITH {body}\n"
+    return ",".join(parts)
+
+
+def _o_kmeans_lloyd() -> str:
+    return (f"WITH {_o_km_body()}\n"
             f"SELECT vec_id, cid AS cluster, d2 FROM a{_KM_ITERS - 1}")
+
+
+_SEMDEDUP_COS = 0.35  # within-cluster near-dup threshold, both engines
+
+
+def _q_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — the semantic-
+    dedup pass LLM curation pipelines run over embedding space: k-means
+    partitions the corpus, then ONLY within-cluster pairs are checked
+    for cosine near-duplication, and of any near-dup pair the vector
+    FARTHER from its centroid is dropped (the paper's keep-closest-to-
+    centroid rule).  Output: (vec_id, cluster, is_kept) for the whole
+    corpus.
+
+    The drop rule is pairwise dominance — drop v iff some same-cluster
+    u with cos(u, v) ≥ threshold precedes it in (d2, vec_id) order — so
+    no transitive closure is needed and the result is order-free
+    deterministic.  All comparisons are exact: integer-scaled vectors
+    give exact BIGINT dots/norms (the dedup_embedding pattern), the
+    centroid distance d2 is an exact BIGINT, and the only floats are
+    one IEEE division of exactly-representable values.
+
+    Scale shape: this is WHY SemDeDup exists — the quadratic check is
+    confined to clusters (k grows with the corpus so cluster sizes stay
+    bounded; k is a fixture constant here), assignment never shuffles
+    the corpus (broadcast codebook, kmeans_lloyd's plan), and the
+    within-cluster self-join shuffles slim (cid, id, vec, d2) rows
+    once.  The dominance anti-join replaces the paper's sequential
+    greedy scan with a set-oriented equivalent."""
+    asg = _km_asg(spark, sf_dir)
+    nn = asg.withColumn("nrm", F.expr(
+        "aggregate(transform(v, x -> x * x), 0L, (acc, x) -> acc + x)"))
+    a = nn.select("cid", F.col("vec_id").alias("va"),
+                  F.col("v").alias("xa"), F.col("d2").alias("da"),
+                  F.col("nrm").alias("na"))
+    b = nn.select("cid", F.col("vec_id").alias("vb"),
+                  F.col("v").alias("xb"), F.col("d2").alias("db"),
+                  F.col("nrm").alias("nb"))
+    dropped = (a.join(b, "cid")
+               .where((F.col("da") < F.col("db"))
+                      | ((F.col("da") == F.col("db"))
+                         & (F.col("va") < F.col("vb"))))
+               .withColumn("dot", F.expr(
+                   "aggregate(zip_with(xa, xb, (x, y) -> x * y), 0L, "
+                   "(acc, x) -> acc + x)"))
+               .where(F.col("dot") / (F.sqrt("na") * F.sqrt("nb"))
+                      >= _SEMDEDUP_COS)
+               .select(F.col("vb").alias("vec_id")).distinct()
+               .withColumn("drp", F.lit(1)))
+    return (nn.join(dropped, "vec_id", "left")
+            .select("vec_id", F.col("cid").alias("cluster"),
+                    F.when(F.col("drp").isNotNull(), 0).otherwise(1)
+                    .cast("int").alias("is_kept")))
+
+
+def _o_semdedup() -> str:
+    last = _KM_ITERS - 1
+    return f"""WITH {_o_km_body()},
+nn AS (SELECT vec_id, cid, v, d2,
+              list_sum(list_transform(v, x -> x * x)) AS nrm
+       FROM a{last}),
+drp AS (SELECT DISTINCT b.vec_id
+        FROM nn a JOIN nn b ON a.cid = b.cid
+         AND (a.d2 < b.d2 OR (a.d2 = b.d2 AND a.vec_id < b.vec_id))
+        WHERE list_sum(list_transform(list_zip(a.v, b.v),
+                                      p -> p[1] * p[2]))
+              / (sqrt(a.nrm) * sqrt(b.nrm)) >= {_SEMDEDUP_COS})
+SELECT nn.vec_id, cid AS cluster,
+       CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS INTEGER)
+           AS is_kept
+FROM nn LEFT JOIN drp d ON d.vec_id = nn.vec_id
+"""
 
 
 # Event-funnel conversion: the ordered-step analytics query (view before
@@ -6777,6 +6861,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     "term_pagerank": (_q_term_pagerank, _o_term_pagerank()),
     "salted_event_join": (_q_salted_event_join, _O_SALTED_EVENT_JOIN),
     "kmeans_lloyd": (_q_kmeans_lloyd, _o_kmeans_lloyd()),
+    "semdedup": (_q_semdedup, _o_semdedup()),
     "event_funnel": (_q_event_funnel, _O_EVENT_FUNNEL),
     "user_retention": (_q_user_retention, _O_USER_RETENTION),
     "doc_chunks": (_q_doc_chunks, _O_DOC_CHUNKS),

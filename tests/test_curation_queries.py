@@ -408,3 +408,48 @@ SELECT count(*) FROM s a JOIN s b
     assert splits["train"] > splits["val"]
     assert splits["train"] > splits["test"]
     assert splits["train"] / total > 0.5
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_semdedup_matches_independent_python(sf_dir):
+    """semdedup's set-oriented dominance rule must agree exactly with a
+    from-the-definition Python SemDeDup (same integer-scaled vectors,
+    same (d2, vec_id) priority, same cosine threshold), and witness the
+    semantics: some vectors are dropped, the majority survive, and the
+    closest-to-centroid vector of every cluster is always kept (it
+    precedes every cluster-mate, so nothing can dominate it)."""
+    import math
+
+    from spellchecker_wasm_spark.queries import (
+        _SEMDEDUP_COS, CATALOG)
+
+    con = _con(sf_dir)
+    vecs = {vid: [int(round(x * 1000)) for x in emb]
+            for vid, emb in con.sql(
+                "SELECT vec_id, embedding FROM embeddings").fetchall()}
+    asg = con.sql(CATALOG["kmeans_lloyd"][1]).fetchall()
+    rows = con.sql(CATALOG["semdedup"][1]).fetchall()
+    got = {vid: (cl, kept) for vid, cl, kept in rows}
+    assert len(got) == len(vecs)
+
+    by_cluster = {}
+    for vid, cl, d2 in asg:
+        by_cluster.setdefault(cl, []).append((d2, vid))
+    dropped = set()
+    for cl, members in by_cluster.items():
+        members.sort()
+        for i, (d2v, v) in enumerate(members):
+            for d2u, u in members[:i]:
+                vu, vv = vecs[u], vecs[v]
+                dot = sum(a * b for a, b in zip(vu, vv))
+                nu = sum(a * a for a in vu)
+                nv = sum(a * a for a in vv)
+                if dot / (math.sqrt(nu) * math.sqrt(nv)) >= _SEMDEDUP_COS:
+                    dropped.add(v)
+                    break
+    for vid, cl, d2 in asg:
+        assert got[vid] == (cl, 0 if vid in dropped else 1), vid
+    assert dropped, "threshold never bites"
+    assert len(dropped) < len(vecs) / 2, "drops should be the minority"
+    for cl, members in by_cluster.items():
+        assert min(members)[1] not in dropped, cl
