@@ -2798,35 +2798,31 @@ def _q_semdedup(spark, sf_dir):
 
     Scale shape: this is WHY SemDeDup exists — the quadratic check is
     confined to clusters (k grows with the corpus so cluster sizes stay
-    bounded; k is a fixture constant here), assignment never shuffles
-    the corpus (broadcast codebook, kmeans_lloyd's plan), and the
-    within-cluster self-join shuffles slim (cid, id, vec, d2) rows
-    once.  The dominance anti-join replaces the paper's sequential
-    greedy scan with a set-oriented equivalent."""
+    bounded; k is a fixture constant here), and assignment never
+    shuffles the corpus (broadcast codebook, kmeans_lloyd's plan).  The
+    dominance pass is the dedup family's bucket-collect shape: ONE
+    groupBy(cid) collects each cluster sorted by (d2, vec_id), a
+    nested-HOF scan marks every vector with a similar predecessor, and
+    an explode restores rows — the Lloyd subtree is referenced exactly
+    once (a self-join formulation re-derives it per reference), and no
+    pair row ever crosses an exchange."""
     asg = _km_asg(spark, sf_dir)
     nn = asg.withColumn("nrm", F.expr(
         "aggregate(transform(v, x -> x * x), 0L, (acc, x) -> acc + x)"))
-    a = nn.select("cid", F.col("vec_id").alias("va"),
-                  F.col("v").alias("xa"), F.col("d2").alias("da"),
-                  F.col("nrm").alias("na"))
-    b = nn.select("cid", F.col("vec_id").alias("vb"),
-                  F.col("v").alias("xb"), F.col("d2").alias("db"),
-                  F.col("nrm").alias("nb"))
-    dropped = (a.join(b, "cid")
-               .where((F.col("da") < F.col("db"))
-                      | ((F.col("da") == F.col("db"))
-                         & (F.col("va") < F.col("vb"))))
-               .withColumn("dot", F.expr(
-                   "aggregate(zip_with(xa, xb, (x, y) -> x * y), 0L, "
-                   "(acc, x) -> acc + x)"))
-               .where(F.col("dot") / (F.sqrt("na") * F.sqrt("nb"))
-                      >= _SEMDEDUP_COS)
-               .select(F.col("vb").alias("vec_id")).distinct()
-               .withColumn("drp", F.lit(1)))
-    return (nn.join(dropped, "vec_id", "left")
-            .select("vec_id", F.col("cid").alias("cluster"),
-                    F.when(F.col("drp").isNotNull(), 0).otherwise(1)
-                    .cast("int").alias("is_kept")))
+    grouped = (nn.groupBy("cid")
+               .agg(F.array_sort(F.collect_list(
+                   F.struct("d2", "vec_id", "v", "nrm"))).alias("ms")))
+    marked = grouped.select(
+        "cid", F.explode(F.expr(
+            "transform(ms, (m, i) -> struct(m.vec_id AS vec_id, "
+            "exists(slice(ms, 1, i), u -> "
+            "aggregate(zip_with(u.v, m.v, (x, y) -> x * y), 0L, "
+            "(acc, x) -> acc + x) / (sqrt(u.nrm) * sqrt(m.nrm)) >= "
+            f"{_SEMDEDUP_COS}) AS drp))")).alias("r"))
+    return marked.select(
+        F.col("r.vec_id").alias("vec_id"), F.col("cid").alias("cluster"),
+        F.when(F.col("r.drp"), 0).otherwise(1).cast("int")
+        .alias("is_kept"))
 
 
 def _o_semdedup() -> str:
