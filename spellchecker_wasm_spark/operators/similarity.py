@@ -251,3 +251,89 @@ def lsh_bucketed_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
             .where(F.col("rank") <= k)
             .select(F.col("qid").alias("query_id"),
                     F.col("vid").alias("neighbor_id"), "rank", "cos"))
+
+
+def lloyd_assign(emb: DataFrame, k: int, iters: int = 2,
+                 id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """Integer-exact Lloyd k-means assignment: quantizes vectors to
+    milli-units (exact BIGINT arithmetic — engine-portable, order-free),
+    seeds centroids from the ``k`` lowest ids (ids must cover 0..k-1;
+    a real pipeline would plug any offline codebook into the same
+    plan), and iterates broadcast-codebook argmin + integer-mean
+    update.  Returns (id_col, cid, v, d2) with ``v`` the quantized
+    vector and ``d2`` the exact squared distance to the winning
+    centroid.
+
+    Plan: the codebook (k rows) is broadcast every iteration — the
+    corpus is never shuffled for assignment; the argmin compiles to
+    WindowGroupLimit; the update shuffles k·dims partial sums with
+    map-side combine.  (The catalog's ``kmeans_lloyd`` row pins this
+    operator against an exact DuckDB replay.)"""
+    e = emb.select(
+        F.col(id_col),
+        F.expr(f"transform({vec_col}, x -> CAST(round(x * 1000) AS "
+               "BIGINT))").alias("v"))
+    cent = (e.where(F.col(id_col) < k)
+            .select(F.col(id_col).cast("int").alias("cid"),
+                    F.col("v").alias("c")))
+    w = Window.partitionBy(id_col).orderBy("d2", "cid")
+    asg = None
+    for it in range(iters):
+        scored = (e.crossJoin(F.broadcast(cent))
+                  .withColumn("d2", F.expr(
+                      "aggregate(zip_with(v, c, (x, y) -> (x - y) * "
+                      "(x - y)), 0L, (acc, z) -> acc + z)")))
+        asg = (scored.withColumn("rn", F.row_number().over(w))
+               .where(F.col("rn") == 1)
+               .select(id_col, "cid", "v", "d2"))
+        if it < iters - 1:
+            pos = asg.select("cid", F.posexplode("v").alias("i", "val"))
+            cent = (pos.groupBy("cid", "i")
+                    .agg(F.sum("val").alias("s"),
+                         F.count(F.lit(1)).alias("n"))
+                    .select("cid", "i", F.expr("s div n").alias("m"))
+                    .groupBy("cid")
+                    .agg(F.array_sort(F.collect_list(F.struct("i", "m")))
+                         .alias("arr"))
+                    .select("cid", F.expr("transform(arr, p -> p.m)")
+                            .alias("c")))
+    return asg
+
+
+def semdedup(emb: DataFrame, k: int, iters: int = 2,
+             threshold: float = 0.35, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means confines
+    the quadratic cosine check to clusters; of any within-cluster pair
+    at cosine ≥ ``threshold`` the vector farther from its centroid is
+    dropped (keep-closest-to-centroid).  Returns
+    (id_col, cluster, is_kept) for the whole corpus.
+
+    The drop rule is pairwise dominance — drop v iff some same-cluster
+    u with cos(u, v) ≥ threshold precedes it in (d2, id) order — an
+    order-free set-oriented equivalent of the paper's greedy scan.
+
+    Plan: ``lloyd_assign``'s plan plus ONE bucket-collect — groupBy(cid)
+    gathers each cluster sorted by (d2, id), a nested-HOF scan marks
+    every vector with a similar predecessor, an explode restores rows.
+    The Lloyd subtree is referenced exactly once and no pair row ever
+    crosses an exchange; per-cluster work is size², bounded by choosing
+    k ≈ N/⟨cluster size⟩ (the paper's knob)."""
+    asg = lloyd_assign(emb, k, iters, id_col, vec_col)
+    nn = asg.withColumn("nrm", F.expr(
+        "aggregate(transform(v, x -> x * x), 0L, (acc, x) -> acc + x)"))
+    grouped = (nn.groupBy("cid")
+               .agg(F.array_sort(F.collect_list(
+                   F.struct("d2", F.col(id_col), "v", "nrm"))).alias("ms")))
+    marked = grouped.select(
+        "cid", F.explode(F.expr(
+            f"transform(ms, (m, i) -> struct(m.{id_col} AS {id_col}, "
+            "exists(slice(ms, 1, i), u -> "
+            "aggregate(zip_with(u.v, m.v, (x, y) -> x * y), 0L, "
+            "(acc, x) -> acc + x) / (sqrt(u.nrm) * sqrt(m.nrm)) >= "
+            f"{threshold}) AS drp))")).alias("r"))
+    return marked.select(
+        F.col(f"r.{id_col}").alias(id_col), F.col("cid").alias("cluster"),
+        F.when(F.col("r.drp"), 0).otherwise(1).cast("int")
+        .alias("is_kept"))

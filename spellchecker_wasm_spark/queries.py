@@ -2690,45 +2690,9 @@ _KM_K = 8
 _KM_ITERS = 2
 
 
-def _km_asg(spark, sf_dir):
-    """Final Lloyd assignment frame (vec_id, cid, v, d2) — shared by
-    kmeans_lloyd (projection) and semdedup (within-cluster pruning)."""
-    from pyspark.sql import Window
-
-    emb = (load(spark, sf_dir, "embeddings")
-           .select("vec_id", F.expr(
-               "transform(embedding, x -> CAST(round(x * 1000) AS BIGINT))")
-               .alias("v")))
-    cent = (emb.where(F.col("vec_id") < _KM_K)
-            .select(F.col("vec_id").cast("int").alias("cid"),
-                    F.col("v").alias("c")))
-    w = Window.partitionBy("vec_id").orderBy("d2", "cid")
-    asg = None
-    for it in range(_KM_ITERS):
-        scored = (emb.crossJoin(F.broadcast(cent))
-                  .withColumn("d2", F.expr(
-                      "aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y)),"
-                      " 0L, (acc, z) -> acc + z)")))
-        asg = (scored.withColumn("rn", F.row_number().over(w))
-               .where(F.col("rn") == 1)
-               .select("vec_id", "cid", "v", "d2"))
-        if it < _KM_ITERS - 1:
-            pos = asg.select("cid", F.posexplode("v").alias("i", "val"))
-            cent = (pos.groupBy("cid", "i")
-                    .agg(F.sum("val").alias("s"),
-                         F.count(F.lit(1)).alias("n"))
-                    .select("cid", "i", F.expr("s div n").alias("m"))
-                    .groupBy("cid")
-                    .agg(F.array_sort(F.collect_list(F.struct("i", "m")))
-                         .alias("arr"))
-                    .select("cid", F.expr("transform(arr, p -> p.m)")
-                            .alias("c")))
-    return asg
-
-
 def _q_kmeans_lloyd(spark, sf_dir):
-    """2-iteration Lloyd k-means; output is the final assignment
-    (vec_id, cluster, d2).
+    """2-iteration Lloyd k-means (operators/similarity.lloyd_assign);
+    output is the final assignment (vec_id, cluster, d2).
 
     Scale shape: the codebook (k rows) is broadcast every iteration —
     the corpus is never shuffled for assignment; the argmin compiles to
@@ -2737,7 +2701,10 @@ def _q_kmeans_lloyd(spark, sf_dir):
     with map-side combine.  This is exactly how production distributed
     k-means iterates (broadcast codebook + tree-aggregated sums), minus
     float nondeterminism."""
-    return (_km_asg(spark, sf_dir)
+    from .operators.similarity import lloyd_assign
+
+    return (lloyd_assign(load(spark, sf_dir, "embeddings"),
+                         _KM_K, _KM_ITERS)
             .select("vec_id", F.col("cid").alias("cluster"), "d2"))
 
 
@@ -2798,31 +2765,20 @@ def _q_semdedup(spark, sf_dir):
 
     Scale shape: this is WHY SemDeDup exists — the quadratic check is
     confined to clusters (k grows with the corpus so cluster sizes stay
-    bounded; k is a fixture constant here), and assignment never
-    shuffles the corpus (broadcast codebook, kmeans_lloyd's plan).  The
-    dominance pass is the dedup family's bucket-collect shape: ONE
-    groupBy(cid) collects each cluster sorted by (d2, vec_id), a
-    nested-HOF scan marks every vector with a similar predecessor, and
-    an explode restores rows — the Lloyd subtree is referenced exactly
-    once (a self-join formulation re-derives it per reference), and no
-    pair row ever crosses an exchange."""
-    asg = _km_asg(spark, sf_dir)
-    nn = asg.withColumn("nrm", F.expr(
-        "aggregate(transform(v, x -> x * x), 0L, (acc, x) -> acc + x)"))
-    grouped = (nn.groupBy("cid")
-               .agg(F.array_sort(F.collect_list(
-                   F.struct("d2", "vec_id", "v", "nrm"))).alias("ms")))
-    marked = grouped.select(
-        "cid", F.explode(F.expr(
-            "transform(ms, (m, i) -> struct(m.vec_id AS vec_id, "
-            "exists(slice(ms, 1, i), u -> "
-            "aggregate(zip_with(u.v, m.v, (x, y) -> x * y), 0L, "
-            "(acc, x) -> acc + x) / (sqrt(u.nrm) * sqrt(m.nrm)) >= "
-            f"{_SEMDEDUP_COS}) AS drp))")).alias("r"))
-    return marked.select(
-        F.col("r.vec_id").alias("vec_id"), F.col("cid").alias("cluster"),
-        F.when(F.col("r.drp"), 0).otherwise(1).cast("int")
-        .alias("is_kept"))
+    bounded; k is a fixture constant here; scripts/bench_semdedup.py
+    measures the scaled-k shape on a synthesized corpus), and
+    assignment never shuffles the corpus (broadcast codebook,
+    kmeans_lloyd's plan).  The dominance pass is the dedup family's
+    bucket-collect shape: ONE groupBy(cid) collects each cluster sorted
+    by (d2, vec_id), a nested-HOF scan marks every vector with a
+    similar predecessor, and an explode restores rows — the Lloyd
+    subtree is referenced exactly once (a self-join formulation
+    re-derives it per reference), and no pair row ever crosses an
+    exchange."""
+    from .operators.similarity import semdedup
+
+    return semdedup(load(spark, sf_dir, "embeddings"),
+                    _KM_K, _KM_ITERS, _SEMDEDUP_COS)
 
 
 def _o_semdedup() -> str:
