@@ -253,9 +253,49 @@ def lsh_bucketed_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
                     F.col("vid").alias("neighbor_id"), "rank", "cos"))
 
 
+def _lloyd_step_arrow(e: DataFrame, cent: DataFrame,
+                      id_col: str) -> DataFrame:
+    """One Lloyd assignment step as a numpy int64 matmul per Arrow batch
+    — bit-identical to the HOF step (exact integer d² = |v|² − 2v·c +
+    |c|²; ``np.argmin`` keeps the FIRST minimum = lowest cid, the same
+    (d2, cid) tie-break as the window).  The codebook is collected to
+    the driver (k×dims longs — the trained-codebook contract
+    ``ivf_assign_arrow`` documents), so the step is map-only.  Eager:
+    collecting the codebook of iteration i executes iteration i−1; the
+    lazy HOF path remains the catalog default."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    cent_rows = sorted(cent.collect(), key=lambda r: r["cid"])
+    C = np.array([r["c"] for r in cent_rows], dtype=np.int64)
+    cids = np.array([r["cid"] for r in cent_rows], dtype=np.int32)
+    cn2 = (C * C).sum(axis=1)
+
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField("cid", T.IntegerType()),
+        T.StructField("v", T.ArrayType(T.LongType())),
+        T.StructField("d2", T.LongType()),
+    ])
+
+    def assign(batches):
+        for pdf in batches:
+            V = np.array(pdf["v"].tolist(), dtype=np.int64)
+            d2 = ((V * V).sum(axis=1)[:, None] - 2 * (V @ C.T)
+                  + cn2[None, :])
+            j = np.argmin(d2, axis=1)
+            yield pd.DataFrame({
+                id_col: pdf[id_col], "cid": cids[j], "v": pdf["v"],
+                "d2": d2[np.arange(len(j)), j]})
+
+    return e.mapInPandas(assign, schema)
+
+
 def lloyd_assign(emb: DataFrame, k: int, iters: int = 2,
                  id_col: str = "vec_id",
-                 vec_col: str = "embedding") -> DataFrame:
+                 vec_col: str = "embedding",
+                 assign: str = "hof") -> DataFrame:
     """Integer-exact Lloyd k-means assignment: quantizes vectors to
     milli-units (exact BIGINT arithmetic — engine-portable, order-free),
     seeds centroids from the ``k`` lowest ids (ids must cover 0..k-1;
@@ -269,7 +309,14 @@ def lloyd_assign(emb: DataFrame, k: int, iters: int = 2,
     corpus is never shuffled for assignment; the argmin compiles to
     WindowGroupLimit; the update shuffles k·dims partial sums with
     map-side combine.  (The catalog's ``kmeans_lloyd`` row pins this
-    operator against an exact DuckDB replay.)"""
+    operator against an exact DuckDB replay.)
+
+    ``assign="arrow"`` swaps the N×k interpreted zip_with/aggregate
+    distance fan-out for one numpy matmul per Arrow batch
+    (``_lloyd_step_arrow``) — bit-identical, pytest-pinned, and the
+    knob that matters at real k: at 50k vectors × k=250 the HOF
+    assignment measured 93 s against 9 s for everything else
+    (scripts/bench_semdedup.py).  Same trade as ``ivf_assign_arrow``."""
     e = emb.select(
         F.col(id_col),
         F.expr(f"transform({vec_col}, x -> CAST(round(x * 1000) AS "
@@ -280,13 +327,16 @@ def lloyd_assign(emb: DataFrame, k: int, iters: int = 2,
     w = Window.partitionBy(id_col).orderBy("d2", "cid")
     asg = None
     for it in range(iters):
-        scored = (e.crossJoin(F.broadcast(cent))
-                  .withColumn("d2", F.expr(
-                      "aggregate(zip_with(v, c, (x, y) -> (x - y) * "
-                      "(x - y)), 0L, (acc, z) -> acc + z)")))
-        asg = (scored.withColumn("rn", F.row_number().over(w))
-               .where(F.col("rn") == 1)
-               .select(id_col, "cid", "v", "d2"))
+        if assign == "arrow":
+            asg = _lloyd_step_arrow(e, cent, id_col)
+        else:
+            scored = (e.crossJoin(F.broadcast(cent))
+                      .withColumn("d2", F.expr(
+                          "aggregate(zip_with(v, c, (x, y) -> (x - y) * "
+                          "(x - y)), 0L, (acc, z) -> acc + z)")))
+            asg = (scored.withColumn("rn", F.row_number().over(w))
+                   .where(F.col("rn") == 1)
+                   .select(id_col, "cid", "v", "d2"))
         if it < iters - 1:
             pos = asg.select("cid", F.posexplode("v").alias("i", "val"))
             cent = (pos.groupBy("cid", "i")
@@ -303,7 +353,8 @@ def lloyd_assign(emb: DataFrame, k: int, iters: int = 2,
 
 def semdedup(emb: DataFrame, k: int, iters: int = 2,
              threshold: float = 0.35, id_col: str = "vec_id",
-             vec_col: str = "embedding") -> DataFrame:
+             vec_col: str = "embedding",
+             assign: str = "hof") -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means confines
     the quadratic cosine check to clusters; of any within-cluster pair
     at cosine ≥ ``threshold`` the vector farther from its centroid is
@@ -320,19 +371,23 @@ def semdedup(emb: DataFrame, k: int, iters: int = 2,
     The Lloyd subtree is referenced exactly once and no pair row ever
     crosses an exchange; per-cluster work is size², bounded by choosing
     k ≈ N/⟨cluster size⟩ (the paper's knob)."""
-    asg = lloyd_assign(emb, k, iters, id_col, vec_col)
+    asg = lloyd_assign(emb, k, iters, id_col, vec_col, assign)
     nn = asg.withColumn("nrm", F.expr(
         "aggregate(transform(v, x -> x * x), 0L, (acc, x) -> acc + x)"))
     grouped = (nn.groupBy("cid")
                .agg(F.array_sort(F.collect_list(
                    F.struct("d2", F.col(id_col), "v", "nrm"))).alias("ms")))
+    # predecessor check via an index-guarded inner transform: `j < i AND
+    # cos >= t` short-circuits so exactly size²/2 dots run per cluster,
+    # and no array is copied (a slice(ms, 1, i) formulation memcpys
+    # O(size²) vector prefixes per cluster)
     marked = grouped.select(
         "cid", F.explode(F.expr(
             f"transform(ms, (m, i) -> struct(m.{id_col} AS {id_col}, "
-            "exists(slice(ms, 1, i), u -> "
+            "array_contains(transform(ms, (u, j) -> j < i AND "
             "aggregate(zip_with(u.v, m.v, (x, y) -> x * y), 0L, "
             "(acc, x) -> acc + x) / (sqrt(u.nrm) * sqrt(m.nrm)) >= "
-            f"{threshold}) AS drp))")).alias("r"))
+            f"{threshold}), true) AS drp))")).alias("r"))
     return marked.select(
         F.col(f"r.{id_col}").alias(id_col), F.col("cid").alias("cluster"),
         F.when(F.col("r.drp"), 0).otherwise(1).cast("int")

@@ -466,3 +466,26 @@ def test_bloom_prefilter_rejects_most_non_members(spark):
     probe = spark.range(1000, 6000).withColumnRenamed("id", "k")
     bm = bloom_bitmap(build, "k", bits=1 << 14)
     assert bloom_prefilter(probe, bm, "k", bits=1 << 14).count() <= 5
+
+
+def test_lloyd_arrow_assignment_equals_jvm(spark):
+    """lloyd_assign's numpy-matmul step must be bit-identical to the
+    HOF step across BOTH iterations (the update step consumes the
+    first assignment, so any divergence compounds): same exact-integer
+    d², same first-minimum = lowest-cid tie-break.  semdedup must then
+    agree end-to-end under either assignment."""
+    from spellchecker_wasm_spark.operators.similarity import (
+        lloyd_assign, semdedup)
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    jvm = {r["vec_id"]: (r["cid"], r["d2"])
+           for r in lloyd_assign(emb, k=8, iters=2).collect()}
+    arrow = {r["vec_id"]: (r["cid"], r["d2"])
+             for r in lloyd_assign(emb, k=8, iters=2,
+                                   assign="arrow").collect()}
+    assert jvm == arrow
+
+    sd_jvm = sorted(tuple(r) for r in semdedup(emb, k=8).collect())
+    sd_arrow = sorted(tuple(r) for r in
+                      semdedup(emb, k=8, assign="arrow").collect())
+    assert sd_jvm == sd_arrow
