@@ -5282,6 +5282,65 @@ FROM a
 """)
 
 
+def _q_purity_quality(spark, sf_dir):
+    """Purity / inverse purity / their harmonic mean for the predicted
+    clustering vs the labeled truth partition — the third classic
+    extrinsic cluster metric next to B³ (bcubed_quality) and ARI
+    (ari_quality), completing the standard shelf: purity charges each
+    CLUSTER for its non-majority members (over-merge), inverse purity
+    charges each ENTITY for being scattered (over-split).
+
+    Purity = Σ_components max_entity n_pt / N; inverse purity swaps the
+    roles.  Both numerators are exact BIGINT sums of per-group maxima
+    over the same (component, entity) intersection cells bcubed uses,
+    so the only floats are two single divisions and the harmonic mean —
+    no ppb scaling needed at all here (max and sum are integer-exact).
+
+    Pinned property (tests/test_linkage_metric_queries.py): per
+    component Σ n_e² ≤ max_e n_e · Σ n_e, so purity ≥ B³ precision and
+    inverse purity ≥ B³ recall — the shelf must be internally
+    consistent, not just individually green.
+
+    Scale shape: identical to bcubed_quality — one cells aggregation,
+    two tiny per-group max re-aggregations, three 1-row reductions
+    attached by constant-size BNLJ (the sanctioned scalar-attach
+    pattern)."""
+    pages, asg = _lk_cc_asg(spark, sf_dir)
+    cells = (asg.withColumn("entity", F.expr("page_id div 10"))
+             .groupBy("component", "entity")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n_pt")))
+    sum_pmax = (cells.groupBy("component").agg(F.max("n_pt").alias("m"))
+                .agg(F.sum("m").cast("bigint").alias("sum_pmax")))
+    sum_emax = (cells.groupBy("entity").agg(F.max("n_pt").alias("m"))
+                .agg(F.sum("m").cast("bigint").alias("sum_emax")))
+    n = cells.agg(F.sum("n_pt").cast("bigint").alias("n_items"))
+    row = n.crossJoin(sum_pmax).crossJoin(sum_emax)
+    p = F.col("sum_pmax") / F.col("n_items")
+    ip = F.col("sum_emax") / F.col("n_items")
+    return row.select(
+        "n_items", "sum_pmax", "sum_emax",
+        p.alias("purity"), ip.alias("inverse_purity"),
+        (F.lit(2.0) * p * ip / (p + ip)).alias("purity_f1"))
+
+
+_O_PURITY_QUALITY = ("WITH RECURSIVE" + _LK_SQL_FIXTURE + _LK_SQL_CC + """,
+cells AS (SELECT component, node // 10 AS entity,
+                 CAST(count(*) AS BIGINT) AS n_pt
+          FROM asg GROUP BY component, node // 10),
+pm AS (SELECT CAST(sum(m) AS BIGINT) AS sum_pmax
+       FROM (SELECT max(n_pt) AS m FROM cells GROUP BY component)),
+em AS (SELECT CAST(sum(m) AS BIGINT) AS sum_emax
+       FROM (SELECT max(n_pt) AS m FROM cells GROUP BY entity)),
+nn AS (SELECT CAST(sum(n_pt) AS BIGINT) AS n_items FROM cells)
+SELECT n_items, sum_pmax, sum_emax,
+       sum_pmax / n_items AS purity,
+       sum_emax / n_items AS inverse_purity,
+       2.0 * (sum_pmax / n_items) * (sum_emax / n_items)
+           / ((sum_pmax / n_items) + (sum_emax / n_items)) AS purity_f1
+FROM nn, pm, em
+""")
+
+
 def _q_ari_quality(spark, sf_dir):
     """Adjusted Rand Index of the predicted clustering vs the truth
     partition — the chance-corrected PAIR-counting twin of bcubed
@@ -6721,6 +6780,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     "cluster_stats": (_q_cluster_stats, _O_CLUSTER_STATS),
     "cluster_diameter": (_q_cluster_diameter, _O_CLUSTER_DIAMETER),
     "bcubed_quality": (_q_bcubed_quality, _O_BCUBED_QUALITY),
+    "purity_quality": (_q_purity_quality, _O_PURITY_QUALITY),
     "ari_quality": (_q_ari_quality, _O_ARI_QUALITY),
     "incremental_linkage": (_q_incremental_linkage,
                             _O_INCREMENTAL_LINKAGE),

@@ -336,3 +336,41 @@ def test_monge_elkan_matches_independent_python(sf_dir):
         assert me_sym == (me_ab + me_ba) / 2.0
         assert 0.0 <= me_ab <= 1.0 and 0.0 <= me_ba <= 1.0
     assert min(r[4] for r in rows) >= 0.9
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_purity_consistent_with_bcubed(sf_dir):
+    """The extrinsic-metric shelf must be internally consistent, not
+    just individually green: per component Σ nₑ² ≤ maxₑ nₑ · Σ nₑ, so
+    purity ≥ B³ precision and inverse purity ≥ B³ recall (within the
+    B³ side's declared ppb floor error).  Also re-derives purity from
+    the definition in Python and witnesses the regime: no splits
+    (inverse purity 1.0), over-merge only (purity ≤ 1 with equality at
+    sf0.001's perfect clustering)."""
+    from collections import Counter
+
+    from spellchecker_wasm_spark.queries import (
+        _LK_SQL_CC, _LK_SQL_FIXTURE)
+
+    con = _con(sf_dir)
+    row = con.sql(CATALOG["purity_quality"][1]).fetchone()
+    n_items, sum_pmax, sum_emax, p, ip, f = row
+    bb = con.sql(CATALOG["bcubed_quality"][1]).fetchone()
+    _, _, _, bp, br, _ = bb
+    tol = 1e-6
+    assert p >= bp - tol, (p, bp)
+    assert ip >= br - tol, (ip, br)
+    assert ip == 1.0, ip
+    assert f == 2.0 * p * ip / (p + ip)
+
+    asg = con.sql("WITH RECURSIVE" + _LK_SQL_FIXTURE + _LK_SQL_CC
+                  + "SELECT node, component FROM asg").fetchall()
+    cells = Counter((c, n // 10) for n, c in asg)
+    by_comp, by_ent = {}, {}
+    for (c, e), v in cells.items():
+        by_comp[c] = max(by_comp.get(c, 0), v)
+        by_ent[e] = max(by_ent.get(e, 0), v)
+    assert n_items == len(asg)
+    assert sum_pmax == sum(by_comp.values())
+    assert sum_emax == sum(by_ent.values())
+    assert p == sum(by_comp.values()) / len(asg)
