@@ -167,3 +167,23 @@ def test_catalog_global_plan_invariants(spark):
         if bad:
             offenders[name] = bad
     assert not offenders, offenders
+
+
+def test_semdedup_bucket_collect_no_pair_join(spark):
+    # the dominance pass is a groupBy-collect + HOF scan, NOT a
+    # within-cluster self-join: no equi-join node may appear (the only
+    # joins are the constant-size broadcast codebook attaches), and the
+    # whole query stays Python-free
+    plan = _plan(spark, "semdedup")
+    for node in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
+                 "CartesianProduct", "EvalPython"):
+        assert node not in plan, (node, plan)
+
+
+def test_monge_elkan_stays_jvm(spark):
+    # the comparator is nested higher-order functions around the builtin
+    # levenshtein — zero Python eval nodes, and the inner distance must
+    # actually be the JVM builtin
+    plan = _plan(spark, "scored_pairs_monge_elkan")
+    assert "EvalPython" not in plan, plan
+    assert "levenshtein(" in plan, plan
