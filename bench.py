@@ -1,17 +1,22 @@
 #!/usr/bin/env python
 """Benchmark harness.
 
-Runs the headline operator queries at $SPARK_GRAFT_SF_DIR (default
+Runs the FULL query catalog at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus the end-to-end
 record-linkage pipeline on a deterministically synthesized Common-Crawl
-page table sized to the SF.  Prints ONE JSON line:
+page table sized to the SF.  Prints ONE compact JSON line (< 1.5 KB so
+the driver's ~2,000-char stdout tail capture always parses it):
 
   {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": ...,
-   "pipeline": {...}, "candidate_pairs_scored_per_sec": ...}
+   "n_queries": N, "queries": {headline-subset: sec, ...}, "sf": ...,
+   "pipeline": {...}, "candidate_pairs_scored_per_sec": ...,
+   "full_results": "BENCH/bench_full_<sf>_<round>_window<n>.json"}
 
-BENCH_MODE=pipeline restricts to the linkage pipeline (used by
-bench_scaling.py for the two-parallelism-level protocol).
+The complete 123-query timing map is written to the BENCH/ window file
+named in "full_results".  BENCH_MODE=pipeline restricts to the linkage
+pipeline (used by bench_scaling.py for the two-parallelism-level
+protocol); BENCH_QUERIES=a,b,c restricts the catalog subset;
+BENCH_ROUND tags the window file (default r4).
 """
 
 from __future__ import annotations
@@ -240,7 +245,74 @@ def main() -> None:
             (_tree_cpu_core_sec() - cpu_start) / max(wall, 1e-9), 2),
     }
     spark.stop()
-    print(json.dumps(out))
+
+    # The round driver captures only the LAST ~2,000 chars of stdout, and
+    # the full 123-query map is ~5 KB — r3's BENCH_r03.json came back
+    # `parsed: null` because the JSON's head was truncated away.  So: the
+    # complete per-query record is WRITTEN to BENCH/ (window files, one
+    # per run), and the single stdout line is a compact totals+headline
+    # summary guaranteed under ~1.5 KB.
+    full_path = _archive_full_record(out, sf_name)
+    print(compact_summary_line(out, full_path))
+
+
+# the stdout summary names only these; the BENCH/ window file has all 123
+_HEADLINE_QUERIES = (
+    "linkage_pipeline", "compound_known", "word_segmentation",
+    "lookup_top", "scored_pairs_osa", "term_clusters",
+    "dedup_ngram_jaccard", "minhash_lsh_dups", "dedup_lsh_clusters",
+    "dedup_embedding_lsh", "ann_ivf_topk", "kmeans_lloyd", "semdedup",
+    "curation_funnel", "graph_triangles",
+)
+
+
+def compact_summary_line(out: dict, full_path: str) -> str:
+    """One-line JSON summary guaranteed to fit the driver's ~2,000-char
+    stdout tail capture (r3's full-catalog line did not, so BENCH_r03
+    recorded `parsed: null`).  Totals + a fixed headline-query subset;
+    the full per-query map lives at ``full_path``."""
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": "sec",
+        "sf": out["sf"],
+        "cpus": out["cpus"],
+        "n_queries": len(out["queries"]),
+        "queries": {k: out["queries"][k] for k in _HEADLINE_QUERIES
+                    if k in out["queries"]},
+        "pipeline": out.get("pipeline"),
+        "candidate_pairs_scored_per_sec": out.get(
+            "candidate_pairs_scored_per_sec"),
+        "host": out.get("host"),
+        "full_results": full_path,
+    }
+    line = json.dumps(compact)
+    if len(line) > 1500:  # hard guarantee: drop detail, keep totals
+        compact.pop("pipeline", None)
+        compact.pop("queries", None)
+        line = json.dumps(compact)
+    return line
+
+
+def _archive_full_record(out: dict, sf_name: str) -> str:
+    """Write the complete bench record to the next free BENCH/ window
+    file (relative path returned so the stdout line stays short)."""
+    bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH")
+    os.makedirs(bench_dir, exist_ok=True)
+    rnd = os.environ.get("BENCH_ROUND", "r4")
+    n = 1
+    while True:
+        rel = f"BENCH/bench_full_{sf_name}_{rnd}_window{n}.json"
+        path = os.path.join(bench_dir,
+                            f"bench_full_{sf_name}_{rnd}_window{n}.json")
+        if not os.path.exists(path):
+            break
+        n += 1
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+        f.write("\n")
+    return rel
 
 
 if __name__ == "__main__":
