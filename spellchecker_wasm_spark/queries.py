@@ -594,6 +594,16 @@ def _q_graph_triangles(spark, sf_dir):
     doesn't.  PageRank / CC / k-means cover iterative algorithms; this
     covers the join-shaped one.
 
+    The three reused frames are PERSISTED (r3 verdict: with zero
+    exchange reuse, `pairs` — the 4-shuffle inverted-index Jaccard
+    subtree — re-evaluated once per reference, ~75 shuffles for one
+    scalar row).  `pairs` feeds the degree union and the edge build,
+    `deg` is referenced three times (two orientation joins + the
+    wedge/global stats), and the oriented edge list `e` is self-joined
+    three ways; each is now computed exactly once per action — the
+    same slim-frame materialization connected_components starts from
+    (operators/clustering.py).
+
     Degree-ORIENTED counting (the compact-forward algorithm): every
     edge points from the lower (degree, id) endpoint to the higher, so
     each triangle is materialized exactly once as e(u,v), e(v,w),
@@ -603,10 +613,11 @@ def _q_graph_triangles(spark, sf_dir):
     counts orient by degree, not id).  Counts are exact BIGINTs; the
     coefficient is one division of exact integers (wedges =
     sum d·(d−1)/2, exact — d·(d−1) is even)."""
-    pairs = _q_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = (_q_dedup_ngram_jaccard(spark, sf_dir)
+             .select("doc_a", "doc_b").persist())
     deg = (pairs.select(F.col("doc_a").alias("v"))
            .unionAll(pairs.select(F.col("doc_b").alias("v")))
-           .groupBy("v").agg(F.count(F.lit(1)).alias("d")))
+           .groupBy("v").agg(F.count(F.lit(1)).alias("d")).persist())
     da, db = deg.alias("da"), deg.alias("db")
     ed = (pairs.join(da, F.col("doc_a") == F.col("da.v"))
           .join(db, F.col("doc_b") == F.col("db.v"))
@@ -615,7 +626,8 @@ def _q_graph_triangles(spark, sf_dir):
     lower = (F.col("dda") < F.col("ddb")) | (
         (F.col("dda") == F.col("ddb")) & (F.col("a") < F.col("b")))
     e = ed.select(F.when(lower, F.col("a")).otherwise(F.col("b")).alias("u"),
-                  F.when(lower, F.col("b")).otherwise(F.col("a")).alias("v"))
+                  F.when(lower, F.col("b")).otherwise(F.col("a")).alias("v")
+                  ).persist()
     e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
     tri = (e1.join(e2, F.col("e2.u") == F.col("e1.v"))
            .join(e3, (F.col("e3.u") == F.col("e1.u"))
@@ -1812,13 +1824,20 @@ def _q_compound_known(spark, sf_dir):
     is restricted to promoted terms so every probe stays exact-path; the
     oracle mirrors the threshold with HAVING count(*) >= t."""
     from .operators.compound import compound_correct
-    toks = _tokens(spark, sf_dir)
-    words = _compound_words(spark, sf_dir)
+    # ONE persisted scan->explode->groupBy token-counts subtree feeds the
+    # dictionary (length>=2, = _compound_words), the probe branch, AND the
+    # single-char probe set (grouped terms are already distinct), so the
+    # expensive explode evaluates exactly once — during the operator's
+    # eager dictionary collect (r3 verdict: un-persisted shared subtrees
+    # re-evaluate per reference; same fix as graph_triangles)
+    tok_counts = (_tokens(spark, sf_dir).groupBy("term")
+                  .agg(F.count(F.lit(1)).alias("count")).persist())
+    words = tok_counts.where(F.length("term") >= 2)
     probes = (words.where(F.col("term").rlike("^[a-z]+$")
                           & (F.col("count") >= _KNOWN_THRESHOLD))
               .select(F.col("term").alias("text")))
-    ones = (toks.where(F.col("term").rlike("^[a-z]$"))
-            .select(F.col("term").alias("text")).distinct())
+    ones = (tok_counts.where(F.col("term").rlike("^[a-z]$"))
+            .select(F.col("term").alias("text")))
     docs = probes.unionByName(ones)
     out = compound_correct(docs, "text", words, None, 2, 7,
                            id_cols=("text",),
@@ -1859,7 +1878,10 @@ def _q_compound_split(spark, sf_dir):
     tie-breaks, so the output is order-independent and SQL-expressible."""
     from .functions.udfs import osa_distance_udf
     from .operators.compound import compound_correct
-    words = _compound_words(spark, sf_dir)
+    # persisted: referenced by the top-K seed, the known-term anti-join,
+    # the fuzzy-probe broadcast, the decomposition semi-joins, and the
+    # operator's eager dictionary collect
+    words = _compound_words(spark, sf_dir).persist()
     w = (words.where(F.col("term").rlike("^[a-z]+$"))
          .orderBy(F.desc("count"), F.asc("term")).limit(_SPLIT_PARTS_K)
          .select("term"))
@@ -1975,9 +1997,11 @@ def _q_compound_merge(spark, sf_dir):
       and DuckDB (same expression as the compound_known oracle).
     """
     from .operators.compound import compound_correct
+    # persisted: shared by the head/tail seeds, probe construction, and
+    # the operator's eager dictionary collect
     words = (_compound_words(spark, sf_dir)
              .where(F.col("term").rlike("^[a-z]+$")
-                    & (F.length("term") <= 20)))
+                    & (F.length("term") <= 20)).persist())
     heads = (words.where(F.length("term") >= 3)
              .orderBy(F.desc("count"), F.asc("term")).limit(_MERGE_K))
     aug = heads.select(
@@ -2020,7 +2044,9 @@ def _q_word_segmentation(spark, sf_dir):
     floating-point probability comparison decides and the expected row is
     SQL-exact."""
     from .operators.compound import segment_texts
-    words = _compound_words(spark, sf_dir)
+    # persisted: referenced by the top-K seed, the known-term anti-join,
+    # two decomposition semi-joins, and the operator's eager collect
+    words = _compound_words(spark, sf_dir).persist()
     w = (words.where(F.col("term").rlike("^[a-z]+$"))
          .orderBy(F.desc("count"), F.asc("term")).limit(_SPLIT_PARTS_K)
          .select("term"))
