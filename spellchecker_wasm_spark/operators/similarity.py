@@ -321,6 +321,15 @@ def lloyd_assign(emb: DataFrame, k: int, iters: int = 2,
         F.col(id_col),
         F.expr(f"transform({vec_col}, x -> CAST(round(x * 1000) AS "
                "BIGINT))").alias("v"))
+    if assign == "arrow" and iters > 1:
+        # The arrow path is EAGER per iteration: each codebook collect
+        # embeds the k×dims array in the next step's closure, so
+        # iteration i's collect re-executes exactly ONE assignment over
+        # e (lineage is truncated at the literal codebook — linear in
+        # iters, not quadratic), but it re-reads the source per
+        # iteration; persist the quantized input so every assignment
+        # and the final action scan memory instead.
+        e = e.persist()
     cent = (e.where(F.col(id_col) < k)
             .select(F.col(id_col).cast("int").alias("cid"),
                     F.col("v").alias("c")))
@@ -354,29 +363,40 @@ def lloyd_assign(emb: DataFrame, k: int, iters: int = 2,
 def semdedup(emb: DataFrame, k: int, iters: int = 2,
              threshold: float = 0.35, id_col: str = "vec_id",
              vec_col: str = "embedding",
-             assign: str = "hof") -> DataFrame:
+             assign: str = "hof", keep: str = "far") -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means confines
-    the quadratic cosine check to clusters; of any within-cluster pair
-    at cosine ≥ ``threshold`` the vector farther from its centroid is
-    dropped (keep-closest-to-centroid).  Returns
-    (id_col, cluster, is_kept) for the whole corpus.
+    the quadratic cosine check to clusters; within any near-dup pair at
+    cosine ≥ ``threshold`` one vector is dropped.  ``keep="far"`` (the
+    default) is the paper's chosen rule — keep the example with the
+    LOWEST similarity to its cluster centroid (their "hard" variant;
+    here the largest exact centroid distance d2, the integer-exact
+    proxy for lowest centroid cosine) and drop the closer one.
+    ``keep="near"`` is the paper's rejected "easy" variant (keep
+    closest-to-centroid).  Returns (id_col, cluster, is_kept) for the
+    whole corpus.
 
     The drop rule is pairwise dominance — drop v iff some same-cluster
-    u with cos(u, v) ≥ threshold precedes it in (d2, id) order — an
-    order-free set-oriented equivalent of the paper's greedy scan.
+    u with cos(u, v) ≥ threshold precedes it in priority order
+    ((−d2, id) for "far", (d2, id) for "near") — an order-free
+    set-oriented equivalent of the paper's greedy scan.
 
     Plan: ``lloyd_assign``'s plan plus ONE bucket-collect — groupBy(cid)
-    gathers each cluster sorted by (d2, id), a nested-HOF scan marks
+    gathers each cluster sorted by priority, a nested-HOF scan marks
     every vector with a similar predecessor, an explode restores rows.
     The Lloyd subtree is referenced exactly once and no pair row ever
     crosses an exchange; per-cluster work is size², bounded by choosing
     k ≈ N/⟨cluster size⟩ (the paper's knob)."""
+    if keep not in ("far", "near"):
+        raise ValueError(f"keep must be 'far' or 'near', got {keep!r}")
     asg = lloyd_assign(emb, k, iters, id_col, vec_col, assign)
     nn = asg.withColumn("nrm", F.expr(
         "aggregate(transform(v, x -> x * x), 0L, (acc, x) -> acc + x)"))
+    # priority key: ascending ord = −d2 (far dominates) or d2 (near
+    # dominates); d2 ≥ 0 so the negation is BIGINT-safe
+    ordc = (-F.col("d2") if keep == "far" else F.col("d2")).alias("ord")
     grouped = (nn.groupBy("cid")
                .agg(F.array_sort(F.collect_list(
-                   F.struct("d2", F.col(id_col), "v", "nrm"))).alias("ms")))
+                   F.struct(ordc, F.col(id_col), "v", "nrm"))).alias("ms")))
     # predecessor check via an index-guarded inner transform: `j < i AND
     # cos >= t` short-circuits so exactly size²/2 dots run per cluster,
     # and no array is copied (a slice(ms, 1, i) formulation memcpys

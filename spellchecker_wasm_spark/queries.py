@@ -700,9 +700,14 @@ def _q_scored_pairs_monge_elkan(spark, sf_dir):
     pairs = _q_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
     toks = F.expr(f"slice(filter(split(text, ' '), x -> x <> ''), 1, "
                   f"{_ME_TOKEN_CAP})")
+    # non-empty-token contract, explicit on both engines: a non-NULL but
+    # whitespace-only text gives an empty token array, and ME(∅→B) is
+    # undefined (the /size(src) mean would be NULL here and a hard
+    # list_reduce error in DuckDB) — such docs never enter the pair side
     docs = (load(spark, sf_dir, "documents")
             .where(F.col("text").isNotNull())
-            .select("doc_id", toks.alias("toks")))
+            .select("doc_id", toks.alias("toks"))
+            .where(F.size("toks") > 0))
 
     def me(src, dst):
         return F.expr(
@@ -725,11 +730,13 @@ def _q_scored_pairs_monge_elkan(spark, sf_dir):
 
 _O_SCORED_MONGE_ELKAN = f"""
 WITH P AS (SELECT doc_a, doc_b FROM ({_O_NGRAM_JACCARD})),
-tk AS (SELECT doc_id,
-              list_slice(list_filter(string_split(text, ' '),
-                                     x -> x <> ''),
-                         1, {_ME_TOKEN_CAP}) AS toks
-       FROM documents WHERE text IS NOT NULL),
+tk AS (SELECT * FROM (
+           SELECT doc_id,
+                  list_slice(list_filter(string_split(text, ' '),
+                                         x -> x <> ''),
+                             1, {_ME_TOKEN_CAP}) AS toks
+           FROM documents WHERE text IS NOT NULL)
+       WHERE len(toks) > 0),
 j AS (SELECT doc_a, doc_b, a.toks AS tka, b.toks AS tkb
       FROM P JOIN tk a ON a.doc_id = doc_a
              JOIN tk b ON b.doc_id = doc_b),
@@ -2777,13 +2784,14 @@ def _q_semdedup(spark, sf_dir):
     dedup pass LLM curation pipelines run over embedding space: k-means
     partitions the corpus, then ONLY within-cluster pairs are checked
     for cosine near-duplication, and of any near-dup pair the vector
-    FARTHER from its centroid is dropped (the paper's keep-closest-to-
-    centroid rule).  Output: (vec_id, cluster, is_kept) for the whole
-    corpus.
+    CLOSER to its centroid is dropped — the paper's chosen rule (keep
+    the example with the lowest similarity to the centroid, their
+    "hard" variant; d2 is the integer-exact proxy).  Output: (vec_id,
+    cluster, is_kept) for the whole corpus.
 
     The drop rule is pairwise dominance — drop v iff some same-cluster
-    u with cos(u, v) ≥ threshold precedes it in (d2, vec_id) order — so
-    no transitive closure is needed and the result is order-free
+    u with cos(u, v) ≥ threshold precedes it in (−d2, vec_id) order —
+    so no transitive closure is needed and the result is order-free
     deterministic.  All comparisons are exact: integer-scaled vectors
     give exact BIGINT dots/norms (the dedup_embedding pattern), the
     centroid distance d2 is an exact BIGINT, and the only floats are
@@ -2815,7 +2823,7 @@ nn AS (SELECT vec_id, cid, v, d2,
        FROM a{last}),
 drp AS (SELECT DISTINCT b.vec_id
         FROM nn a JOIN nn b ON a.cid = b.cid
-         AND (a.d2 < b.d2 OR (a.d2 = b.d2 AND a.vec_id < b.vec_id))
+         AND (a.d2 > b.d2 OR (a.d2 = b.d2 AND a.vec_id < b.vec_id))
         WHERE list_sum(list_transform(list_zip(a.v, b.v),
                                       p -> p[1] * p[2]))
               / (sqrt(a.nrm) * sqrt(b.nrm)) >= {_SEMDEDUP_COS})

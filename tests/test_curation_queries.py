@@ -414,9 +414,10 @@ SELECT count(*) FROM s a JOIN s b
 def test_semdedup_matches_independent_python(sf_dir):
     """semdedup's set-oriented dominance rule must agree exactly with a
     from-the-definition Python SemDeDup (same integer-scaled vectors,
-    same (d2, vec_id) priority, same cosine threshold), and witness the
-    semantics: some vectors are dropped, the majority survive, and the
-    closest-to-centroid vector of every cluster is always kept (it
+    same (−d2, vec_id) keep-farthest priority — the paper's chosen
+    "hard" variant — same cosine threshold), and witness the semantics:
+    some vectors are dropped, the majority survive, and the
+    farthest-from-centroid vector of every cluster is always kept (it
     precedes every cluster-mate, so nothing can dominate it)."""
     import math
 
@@ -434,7 +435,7 @@ def test_semdedup_matches_independent_python(sf_dir):
 
     by_cluster = {}
     for vid, cl, d2 in asg:
-        by_cluster.setdefault(cl, []).append((d2, vid))
+        by_cluster.setdefault(cl, []).append((-d2, vid))
     dropped = set()
     for cl, members in by_cluster.items():
         members.sort()

@@ -344,9 +344,13 @@ def test_purity_consistent_with_bcubed(sf_dir):
     just individually green: per component Σ nₑ² ≤ maxₑ nₑ · Σ nₑ, so
     purity ≥ B³ precision and inverse purity ≥ B³ recall (within the
     B³ side's declared ppb floor error).  Also re-derives purity from
-    the definition in Python and witnesses the regime: no splits
-    (inverse purity 1.0), over-merge only (purity ≤ 1 with equality at
-    sf0.001's perfect clustering)."""
+    the definition in Python.  The no-split regime (inverse purity
+    exactly 1.0) is a FIXTURE property of the current linkage chain —
+    blocking never splits an entity here — pinned as a derived
+    equality against the Python replay rather than hard-coded, so a
+    future fixture or clustering change that legitimately splits an
+    entity shifts both sides together instead of failing a stale
+    constant."""
     from collections import Counter
 
     from spellchecker_wasm_spark.queries import (
@@ -360,7 +364,7 @@ def test_purity_consistent_with_bcubed(sf_dir):
     tol = 1e-6
     assert p >= bp - tol, (p, bp)
     assert ip >= br - tol, (ip, br)
-    assert ip == 1.0, ip
+    assert 0.0 < ip <= 1.0, ip
     assert f == 2.0 * p * ip / (p + ip)
 
     asg = con.sql("WITH RECURSIVE" + _LK_SQL_FIXTURE + _LK_SQL_CC
@@ -374,3 +378,8 @@ def test_purity_consistent_with_bcubed(sf_dir):
     assert sum_pmax == sum(by_comp.values())
     assert sum_emax == sum(by_ent.values())
     assert p == sum(by_comp.values()) / len(asg)
+    # the derived equality that subsumes the old `ip == 1.0` pin: on
+    # the current fixtures every entity lands in one component, so the
+    # replay's Σ per-entity max equals the item count and ip comes out
+    # 1.0 — but the assertion tracks the replay, not the constant
+    assert ip == sum(by_ent.values()) / len(asg)

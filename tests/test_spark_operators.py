@@ -489,3 +489,50 @@ def test_lloyd_arrow_assignment_equals_jvm(spark):
     sd_arrow = sorted(tuple(r) for r in
                       semdedup(emb, k=8, assign="arrow").collect())
     assert sd_jvm == sd_arrow
+
+
+def test_semdedup_keep_variants_match_python(spark):
+    """Both keep variants must agree with the from-the-definition greedy
+    scan over the SAME Lloyd partition: keep="far" (default — the
+    paper's chosen rule, keep the example least similar to its
+    centroid) dominates in (−d2, id) order, keep="near" (the paper's
+    rejected easy variant) in (d2, id) order.  Also witnesses the two
+    rules genuinely differ on this fixture and that a bad keep raises."""
+    import math
+
+    import pytest as _pytest
+
+    from spellchecker_wasm_spark.operators.similarity import (
+        lloyd_assign, semdedup)
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    asg = lloyd_assign(emb, k=8, iters=2).collect()
+    vecs = {r["vec_id"]: r["v"] for r in asg}
+    thr = 0.35
+
+    def expected(sign):
+        by_cluster = {}
+        for r in asg:
+            by_cluster.setdefault(r["cid"], []).append(
+                (sign * r["d2"], r["vec_id"]))
+        dropped = set()
+        for members in by_cluster.values():
+            members.sort()
+            for i, (_, v) in enumerate(members):
+                for _, u in members[:i]:
+                    vu, vv = vecs[u], vecs[v]
+                    dot = sum(a * b for a, b in zip(vu, vv))
+                    nu = sum(a * a for a in vu)
+                    nv = sum(a * a for a in vv)
+                    if dot / (math.sqrt(nu) * math.sqrt(nv)) >= thr:
+                        dropped.add(v)
+                        break
+        return dropped
+
+    for keep, sign in (("far", -1), ("near", 1)):
+        got = {r["vec_id"] for r in semdedup(emb, k=8, keep=keep).collect()
+               if r["is_kept"] == 0}
+        assert got == expected(sign), keep
+    assert expected(-1) != expected(1), "fixture can't tell variants apart"
+    with _pytest.raises(ValueError):
+        semdedup(emb, k=8, keep="middle")
