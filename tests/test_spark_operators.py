@@ -365,12 +365,16 @@ def test_similarity_negative_distance_is_null(spark):
 
 
 def test_plan_construction_is_action_free(spark):
-    """VERDICT r2 #7: building an operator's DataFrame must not trigger a
-    Spark job — the length guard / dims probe belong inside the plan (or
-    arrive as parameters), not as eager driver actions per query build."""
+    """VERDICT r2 #7 / r3 #6: building an operator's DataFrame must not
+    trigger a Spark job — the length guard / dims probe belong inside
+    the plan (or arrive as parameters), not as eager driver actions per
+    query build.  Covers the whole LAZY ANN family (lsh_*, brute force,
+    IVF-jvm, Lloyd/semdedup hof); the arrow/trained-codebook paths are
+    eager BY CONTRACT (k×dims collect, documented) and excluded."""
     from spellchecker_wasm_spark.operators.lookup import distributed_lookup
     from spellchecker_wasm_spark.operators.similarity import (
-        lsh_bucketed_topk, lsh_buckets)
+        brute_force_topk, ivf_topk, lloyd_assign, lsh_bucketed_topk,
+        lsh_buckets, semdedup)
 
     words = spark.createDataFrame(
         [Row(term="alpha", count=10), Row(term="beta", count=5)])
@@ -387,6 +391,10 @@ def test_plan_construction_is_action_free(spark):
                                include_unknown=True, include_self=True),
             lsh_buckets(emb, n_planes=4, n_dims=3),
             lsh_bucketed_topk(emb, emb, k=2, n_planes=4, n_dims=3),
+            brute_force_topk(emb, emb, k=2),
+            ivf_topk(emb, emb, k=2, n_cells=2),
+            lloyd_assign(emb, k=2, iters=2),
+            semdedup(emb, k=2, iters=2),
         ]
         jobs = sc.statusTracker().getJobIdsForGroup(group)
         assert jobs == [], f"plan construction scheduled jobs: {jobs}"
