@@ -6864,9 +6864,13 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     "semdedup": (_q_semdedup, _o_semdedup()),
     "purity_quality": (_q_purity_quality, _O_PURITY_QUALITY),
     "media_frames": (_q_media_frames, _O_MEDIA_FRAMES),
-    "lang_id": (_q_lang_id, _O_LANG_ID),
     "quality_filter": (_q_quality_filter, _O_QUALITY_FILTER),
-    "token_counts": (_q_token_counts, _O_TOKEN_COUNTS),
+    # two batch-equivalence streaming rows stay in the window (r3
+    # verdict #8) so the driver certifies streaming beyond the flagship
+    # stream_incremental_linkage; lang_id/token_counts (stable simple
+    # scans, r2-certified) moved to the tail to make room
+    "stream_dedup_exact": (_q_stream_dedup_exact, _O_DEDUP_EXACT),
+    "stream_event_sessions": (_q_stream_event_sessions, _O_EVENT_SESSIONS),
     # --- TAIL (past the ~50-row driver window; sweep-certified) -----
     "golden_record": (_q_golden_record, _O_GOLDEN_RECORD),
     "cluster_stats": (_q_cluster_stats, _O_CLUSTER_STATS),
@@ -6939,9 +6943,9 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     "event_props_json": (_q_event_props_json, _O_EVENT_PROPS_JSON),
     "asof_clicks": (_q_asof_clicks, _O_ASOF_CLICKS),
     "user_rolling": (_q_user_rolling, _O_USER_ROLLING),
-    "stream_dedup_exact": (_q_stream_dedup_exact, _O_DEDUP_EXACT),
+    "lang_id": (_q_lang_id, _O_LANG_ID),
+    "token_counts": (_q_token_counts, _O_TOKEN_COUNTS),
     "stream_recrawl_dedup": (_q_stream_recrawl_dedup, _O_RECRAWL_DEDUP),
-    "stream_event_sessions": (_q_stream_event_sessions, _O_EVENT_SESSIONS),
     "stream_event_funnel": (_q_stream_event_funnel, _O_EVENT_FUNNEL),
     "stream_windowed_counts": (_q_stream_windowed_counts,
                                _O_STREAM_WINDOWED_COUNTS),

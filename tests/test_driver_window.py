@@ -36,9 +36,11 @@ _REQUIRED_IN_WINDOW = {
     # §2.6 distance kernels
     "scored_pairs_osa", "scored_pairs_lev", "scored_pairs_similarity",
     "scored_pairs_similarity2", "scored_pairs_monge_elkan",
-    # linkage flagship + §2.9 incremental/streaming
+    # linkage flagship + §2.9 incremental/streaming (r3 verdict #8:
+    # 2+ batch-equivalence stream rows must carry driver rows)
     "term_clusters", "linkage_f1", "linkage_cluster_f1",
     "incremental_linkage", "stream_incremental_linkage",
+    "stream_dedup_exact", "stream_event_sessions",
     # dedup suite
     "dedup_exact", "dedup_ngram_jaccard", "graph_triangles",
     "minhash_signatures", "minhash_lsh_dups", "dedup_lsh_clusters",
