@@ -41,13 +41,31 @@ def _h(*parts) -> int:
         hashlib.md5(":".join(map(str, parts)).encode()).digest()[:8], "big")
 
 
-def synth_sentences(n: int, words: list[str], words_per_doc: int = 8):
-    """Deterministic misspelled sentences from real dictionary words."""
+def synth_sentences(n: int, words: list[str], words_per_doc: int = 8,
+                    zipf: bool = False):
+    """Deterministic misspelled sentences from real dictionary words.
+
+    Default draw is UNIFORM over the term pool (the r2/r3 protocol —
+    kept for round-over-round comparability).  ``zipf=True`` draws
+    rank-weighted (p(rank) ∝ 1/rank over the frequency-sorted pool),
+    the token distribution real webtext actually has — the number that
+    predicts production throughput for the per-executor memo."""
+    if zipf:
+        # cumulative 1/rank table; binary-search a hashed uniform into it
+        import bisect
+        import itertools
+        cum = list(itertools.accumulate(1.0 / r
+                                        for r in range(1, len(words) + 1)))
+        total = cum[-1]
     out = []
     for i in range(n):
         toks = []
         for j in range(words_per_doc):
-            w = words[_h(i, j) % len(words)]
+            if zipf:
+                u = (_h(i, j) % 10**9) / 10**9 * total
+                w = words[bisect.bisect_left(cum, u)]
+            else:
+                w = words[_h(i, j) % len(words)]
             r = _h(i, j, "op") % 4
             if r == 0 and len(w) > 4:          # delete one char
                 p = _h(i, j, "p") % len(w)
@@ -89,7 +107,8 @@ def main() -> None:
             w1, w2, c = line.rstrip("\n").split(" ")
             bigrams[f"{w1} {w2}"] = int(c)
 
-    sentences = synth_sentences(n, terms)
+    zipf = os.environ.get("COMPOUND_ZIPF", "0") == "1"
+    sentences = synth_sentences(n, terms, zipf=zipf)
     n_chars = sum(len(s) for s in sentences)
     docs = spark.createDataFrame(
         [Row(doc_id=i, text=s) for i, s in enumerate(sentences)]
@@ -111,6 +130,7 @@ def main() -> None:
         F.col("corrected") != F.col("text")).count()
     res = {
         "metric": "compound_correct_bench", "docs": n, "cpus": cpus,
+        "zipf": zipf,
         "dict_terms": len(words), "bigrams": len(bigrams),
         "wall_sec": round(wall, 2),
         "docs_per_sec": round(n / wall, 1),

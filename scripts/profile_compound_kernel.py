@@ -31,13 +31,17 @@ from spellchecker_wasm_spark.operators.compound import (  # noqa: E402
 
 
 def load_dicts(dict_top: int):
-    words = {}
+    """Same slice as bench_compound: words dict + the 4-12-char term
+    pool its sentence generator draws from."""
+    words, terms = {}, []
     with gzip.open(DICT, "rt", encoding="utf-8") as f:
         for i, line in enumerate(f):
             if i >= dict_top:
                 break
             t, c = line.split(" ")
             words[t] = int(c)
+            if 4 <= len(t) <= 12:
+                terms.append(t)
     bigrams = {}
     with gzip.open(BIGRAMS, "rt", encoding="utf-8") as f:
         for i, line in enumerate(f):
@@ -45,18 +49,18 @@ def load_dicts(dict_top: int):
                 break
             a, b, c = line.split(" ")
             bigrams[f"{a} {b}"] = int(c)
-    return words, bigrams
+    return words, bigrams, terms
 
 
 def main() -> None:
     n = int(os.environ.get("COMPOUND_N", "2000"))
     dict_top = int(os.environ.get("COMPOUND_DICT", "30000"))
     sort = os.environ.get("PROFILE_SORT", "tottime")
-    words, bigrams = load_dicts(dict_top)
+    words, bigrams, terms = load_dicts(dict_top)
     t0 = time.time()
     kernel = kernel_from_counts(words, bigrams, 2, 7)
     build = time.time() - t0
-    docs = synth_sentences(n, sorted(words))
+    docs = synth_sentences(n, terms)
 
     t0 = time.time()
     pr = cProfile.Profile()

@@ -24,7 +24,7 @@ Deliberate reference quirks reproduced (each cited):
 from __future__ import annotations
 
 import re
-from dataclasses import dataclass, replace
+from dataclasses import dataclass
 from enum import IntEnum
 from itertools import islice
 
@@ -34,6 +34,14 @@ from .text import parse_words
 
 N = 1024908267229.0  # sym_spell.rs:46
 _USIZE_MAX = 2**64 - 1
+
+# lookup_compound's combi probe runs at the tightened bound
+# min(med, best1.distance + best2.distance - 1) — result-identical to
+# the reference's unconditional lookup(combi, med) by the acceptance
+# inequality (see lookup_compound_joined).  The flag exists ONLY so the
+# equivalence test can execute the reference-shaped path side by side;
+# production code never flips it.
+_COMBI_TIGHTEN = True
 _UINT_RE = re.compile(r"^\+?\d+$")
 
 
@@ -111,6 +119,14 @@ class SymSpellKernel:
         # Bounded (drop-oldest-half) and invalidated on dictionary writes.
         self._top_cache: dict[tuple[str, int], list[SuggestItem]] = {}
         self._top_cache_cap = 200_000
+        # memoized per-TOKEN compound decision (the direct-or-best-split
+        # selection, sym_spell.rs:562-652): unlike the combi branch it
+        # reads no neighbor state, so it is a pure function of
+        # (term, med) over the frozen dictionaries — and it is the
+        # compound hot path's dominant cost (len(term)-1 split probes
+        # per unmatched token).  Copies returned; same bound/involution
+        # as _top_cache.
+        self._part_cache: dict[tuple[str, int], SuggestItem] = {}
 
     # ------------------------------------------------------------------
     # ingestion (sym_spell.rs:109-187)
@@ -128,6 +144,8 @@ class SymSpellKernel:
         self.bigrams[key] = count
         if count < self.bigram_count_min:
             self.bigram_count_min = count
+        # the memoized compound decision reads bigram counts
+        self._part_cache.clear()
 
     def _lookup_top_memo(self, term: str,
                          max_edit_distance: int) -> list[SuggestItem]:
@@ -145,7 +163,10 @@ class SymSpellKernel:
                                      self._top_cache_cap // 2)):
                     del self._top_cache[k]
             self._top_cache[key] = hit
-        return [replace(s) for s in hit]
+        # direct construction beats dataclasses.replace (field
+        # introspection) ~6x on this 3-field dataclass — measured hot
+        # in the compound profile at 150k+ copies per 2k docs
+        return [SuggestItem(s.term, s.distance, s.count) for s in hit]
 
     # ------------------------------------------------------------------
     # batched Top lookup (the compound hot path, VERDICT r2 #5)
@@ -329,6 +350,7 @@ class SymSpellKernel:
 
     def create_dictionary_entry(self, key: str, count: int) -> bool:
         self._top_cache.clear()
+        self._part_cache.clear()
         if self.count_threshold > 1 and key in self.below_threshold_words:
             prev = self.below_threshold_words[key]
             count = prev + count if _USIZE_MAX - prev > count else _USIZE_MAX
@@ -543,6 +565,85 @@ class SymSpellKernel:
     # ------------------------------------------------------------------
     # lookup_compound (sym_spell.rs:523-676)
     # ------------------------------------------------------------------
+    def _compound_term_decision(self, term: str, max_edit_distance: int,
+                                suggestions: list[SuggestItem]
+                                ) -> SuggestItem:
+        """Memoized direct-or-best-split decision for one unmatched
+        token (sym_spell.rs:562-652).  Unlike the combi branch this
+        block reads NO neighbor state — ``suggestions`` is itself a
+        pure function of ``term`` — so the whole decision is a pure
+        function of (term, med) over the frozen dictionaries, and it is
+        the compound hot path's dominant cost: len(term)-1 split
+        probes, each two Top lookups + one bounded OSA.  Zipf-repeated
+        corpus tokens turn it into one dict probe.  Invalidated on any
+        unigram OR bigram write (split counts read self.bigrams);
+        copies returned — callers may be popped/compared but the combi
+        branch never mutates non-combi parts."""
+        key = (term, max_edit_distance)
+        hit = self._part_cache.get(key)
+        if hit is None:
+            hit = self._compound_term_decision_uncached(
+                term, max_edit_distance, suggestions)
+            if len(self._part_cache) >= self._top_cache_cap:
+                for k in list(islice(iter(self._part_cache),
+                                     self._top_cache_cap // 2)):
+                    del self._part_cache[k]
+            self._part_cache[key] = hit
+        return SuggestItem(hit.term, hit.distance, hit.count)
+
+    def _compound_term_decision_uncached(self, term: str,
+                                         max_edit_distance: int,
+                                         suggestions: list[SuggestItem]
+                                         ) -> SuggestItem:
+        term_len = len(term)
+        best_split: SuggestItem | None = None
+        if suggestions:
+            best_split = suggestions[0]
+        if term_len > 1:
+            for j in range(1, term_len):
+                part1, part2 = term[:j], term[j:]
+                suggestions1 = self._lookup_top_memo(part1, max_edit_distance)
+                if not suggestions1:
+                    continue
+                suggestions2 = self._lookup_top_memo(part2, max_edit_distance)
+                if not suggestions2:
+                    continue
+                split_term = suggestions1[0].term + " " + suggestions2[0].term
+                d = osa_distance_max(term, split_term, max_edit_distance)
+                distance2 = max_edit_distance + 1 if d is None else d
+                if best_split is not None:
+                    if distance2 > best_split.distance:
+                        continue
+                    if distance2 < best_split.distance:
+                        best_split = None
+                split = SuggestItem(split_term, distance2, 0)
+                if split_term in self.bigrams:
+                    split.count = self.bigrams[split_term]
+                    term_compare = suggestions1[0].term + suggestions2[0].term
+                    if suggestions:
+                        if term == term_compare:
+                            split.count = max(split.count, suggestions[0].count)
+                        elif (suggestions1[0].term == suggestions[0].term
+                              or suggestions2[0].term == suggestions[0].term):
+                            split.count = max(split.count,
+                                              suggestions[0].count + 1)
+                    elif term == term_compare:
+                        split.count = max(split.count,
+                                          max(suggestions1[0].count,
+                                              suggestions2[0].count + 1))
+                else:
+                    # Naive Bayes count estimate (sym_spell.rs:637)
+                    split.count = min(self.bigram_count_min,
+                                      int(suggestions1[0].count / N
+                                          * suggestions2[0].count))
+                if best_split is None or split.count > best_split.count:
+                    best_split = split
+            if best_split is not None:
+                return best_split
+        # transposed-args reference quirk (sym_spell.rs:648)
+        return SuggestItem(term, 10 // _pow10_usize(term_len),
+                           max_edit_distance + 1)
+
     def lookup_compound(self, input_text: str,
                         max_edit_distance: int = 2) -> list[SuggestItem]:
         joined, count = self.lookup_compound_joined(input_text,
@@ -572,26 +673,46 @@ class SymSpellKernel:
             suggestions = self._lookup_top_memo(term, max_edit_distance)
 
             if i > 0 and not last_combi:
-                combi = term_list[i - 1] + term
-                suggestions_combi = self._lookup_top_memo(combi, max_edit_distance)
-                if suggestions_combi:
-                    best1 = suggestion_parts[-1]
-                    if suggestions:
-                        best2 = suggestions[0]
-                    else:
-                        # estimated unknown-word stats (sym_spell.rs:543-550)
-                        best2 = SuggestItem(term, max_edit_distance + 1,
-                                            int(10.0 / _pow10_usize(len(term))) if len(term) < 300 else 0)
-                    distance = best1.distance + best2.distance
-                    sc = suggestions_combi[0]
-                    if (sc.distance + 1 < distance
-                            or (sc.distance + 1 == distance
-                                and sc.count > int(best1.count / N * best2.count))):
-                        sc.distance += 1
-                        suggestion_parts.pop()
-                        suggestion_parts.append(sc)
-                        last_combi = True
-                        continue
+                best1 = suggestion_parts[-1]
+                if suggestions:
+                    best2 = suggestions[0]
+                else:
+                    # estimated unknown-word stats (sym_spell.rs:543-550)
+                    best2 = SuggestItem(term, max_edit_distance + 1,
+                                        int(10.0 / _pow10_usize(len(term))) if len(term) < 300 else 0)
+                distance = best1.distance + best2.distance
+                # Bound-tightening lemma (result-identical to the
+                # reference's unconditional lookup(combi, med),
+                # sym_spell.rs:534-541): the combi winner sc is accepted
+                # only when sc.distance + 1 <= distance, i.e.
+                # sc.distance <= distance - 1, so probing at
+                # med' = min(med, distance - 1) decides identically —
+                # Top returns (min distance, max count at it), which is
+                # the same item whenever its distance <= med', and when
+                # it isn't, BOTH bounds fail the acceptance test.  At
+                # distance 0 no combi can ever win (skip the lookup);
+                # at 1 it is a dictionary probe; at 2 a bound-1
+                # neighborhood scan — the expensive full ed-2 BFS runs
+                # only when an unknown term pushes distance >= 3.
+                # Combi probes are near-unique strings (memo-miss
+                # heavy), so this is the compound hot path's single
+                # largest cost; equivalence is pinned by
+                # test_combi_bound_tightening_matches_reference.
+                if distance > 0 or not _COMBI_TIGHTEN:
+                    combi = term_list[i - 1] + term
+                    suggestions_combi = self._lookup_top_memo(
+                        combi, min(max_edit_distance, distance - 1)
+                        if _COMBI_TIGHTEN else max_edit_distance)
+                    if suggestions_combi:
+                        sc = suggestions_combi[0]
+                        if (sc.distance + 1 < distance
+                                or (sc.distance + 1 == distance
+                                    and sc.count > int(best1.count / N * best2.count))):
+                            sc.distance += 1
+                            suggestion_parts.pop()
+                            suggestion_parts.append(sc)
+                            last_combi = True
+                            continue
 
             last_combi = False
 
@@ -599,59 +720,9 @@ class SymSpellKernel:
             if suggestions and (suggestions[0].distance == 0 or term_len == 1):
                 suggestion_parts.append(suggestions[0])
             else:
-                best_split: SuggestItem | None = None
-                if suggestions:
-                    best_split = suggestions[0]
-                if term_len > 1:
-                    for j in range(1, term_len):
-                        part1, part2 = term[:j], term[j:]
-                        suggestions1 = self._lookup_top_memo(part1, max_edit_distance)
-                        if not suggestions1:
-                            continue
-                        suggestions2 = self._lookup_top_memo(part2, max_edit_distance)
-                        if not suggestions2:
-                            continue
-                        split_term = suggestions1[0].term + " " + suggestions2[0].term
-                        d = osa_distance_max(term, split_term, max_edit_distance)
-                        distance2 = max_edit_distance + 1 if d is None else d
-                        if best_split is not None:
-                            if distance2 > best_split.distance:
-                                continue
-                            if distance2 < best_split.distance:
-                                best_split = None
-                        split = SuggestItem(split_term, distance2, 0)
-                        if split_term in self.bigrams:
-                            split.count = self.bigrams[split_term]
-                            term_compare = suggestions1[0].term + suggestions2[0].term
-                            if suggestions:
-                                if term == term_compare:
-                                    split.count = max(split.count, suggestions[0].count)
-                                elif (suggestions1[0].term == suggestions[0].term
-                                      or suggestions2[0].term == suggestions[0].term):
-                                    split.count = max(split.count,
-                                                      suggestions[0].count + 1)
-                            elif term == term_compare:
-                                split.count = max(split.count,
-                                                  max(suggestions1[0].count,
-                                                      suggestions2[0].count + 1))
-                        else:
-                            # Naive Bayes count estimate (sym_spell.rs:637)
-                            split.count = min(self.bigram_count_min,
-                                              int(suggestions1[0].count / N
-                                                  * suggestions2[0].count))
-                        if best_split is None or split.count > best_split.count:
-                            best_split = split
-                    if best_split is not None:
-                        suggestion_parts.append(best_split)
-                    else:
-                        # transposed-args reference quirk (sym_spell.rs:648)
-                        suggestion_parts.append(SuggestItem(
-                            term, 10 // _pow10_usize(term_len),
-                            max_edit_distance + 1))
-                else:
-                    suggestion_parts.append(SuggestItem(
-                        term, 10 // _pow10_usize(term_len),
-                        max_edit_distance + 1))
+                suggestion_parts.append(
+                    self._compound_term_decision(term, max_edit_distance,
+                                                 suggestions))
 
         count = N
         s_parts: list[str] = []

@@ -201,6 +201,65 @@ def test_word_segmentation_russian_multibyte():
     assert s == c == "свой время"
 
 
+def test_combi_bound_tightening_matches_reference(en_gb_kernel_with_bigrams):
+    """lookup_compound's tightened combi probe (med' =
+    min(med, best1.distance + best2.distance - 1)) must produce
+    byte-identical corrections to the reference-shaped unconditional
+    lookup(combi, med) across sentences that exercise every distance
+    regime: clean adjacent pairs (distance 0 — probe skipped), one-edit
+    neighbors (distance 1-2 — dictionary probe / bound-1 scan), unknown
+    terms (distance >= 3 — full BFS), and genuine merge errors the
+    combi branch must still win."""
+    import hashlib
+
+    from spellchecker_wasm_spark.kernels import symspell as sy
+
+    k = en_gb_kernel_with_bigrams
+    words = sorted(k.words)[1000:1400]
+
+    def h(*parts):
+        return int(hashlib.md5(":".join(map(str, parts)).encode())
+                   .hexdigest()[:8], 16)
+
+    sentences = []
+    for i in range(120):
+        toks = []
+        for j in range(6):
+            w = words[h(i, j) % len(words)]
+            r = h(i, j, "op") % 5
+            if r == 0 and len(w) > 4:                    # delete one char
+                p = h(i, j, "p") % len(w)
+                w = w[:p] + w[p + 1:]
+            elif r == 1 and len(w) > 4:                  # swap adjacent
+                p = h(i, j, "p") % (len(w) - 1)
+                w = w[:p] + w[p + 1] + w[p] + w[p + 2:]
+            elif r == 2 and h(i, j, "u") % 3 == 0:       # unknown junk
+                w = "xq" + w + "zv"
+            toks.append(w)
+        s = " ".join(toks)
+        if h(i, "merge") % 3 == 0:                       # drop one space
+            sp = [p for p, c in enumerate(s) if c == " "]
+            p = sp[h(i, "mp") % len(sp)]
+            s = s[:p] + s[p + 1:]
+        sentences.append(s)
+    sentences.append("begining sentances with misspeled words is "
+                     "outragous and mischievious")
+
+    results = {}
+    for tighten in (False, True):
+        sy._COMBI_TIGHTEN = tighten
+        k._top_cache.clear()
+        try:
+            results[tighten] = [
+                (r[0].term, r[0].distance, r[0].count)
+                for r in (k.lookup_compound(s, 2) for s in sentences)]
+        finally:
+            sy._COMBI_TIGHTEN = True
+    k._top_cache.clear()
+    for s, ref, fast in zip(sentences, results[False], results[True]):
+        assert ref == fast, s
+
+
 def test_fast_top_paths_match_lookup(en_gb_kernel):
     """The tiered fast path (_lookup_top_fast) and the batched path
     (lookup_top_batch) must be result-identical to
