@@ -47,6 +47,7 @@ NODES = [
     ("map_pandas", "MapInPandas"),
     ("generate", "Generate"),
     ("win_limit", "WindowGroupLimit"),
+    ("imts", "InMemoryTableScan"),
 ]
 
 
@@ -83,24 +84,33 @@ def main() -> int:
            "**zero BatchEvalPython, zero CartesianProduct** across the",
            "batch catalog; BroadcastNestedLoopJoin only where a 1-row or",
            "constant-size frame attaches (bloom bitmap, ARI/KMV scalar",
-           "reductions, funnel constants).\n",
+           "reductions, funnel constants).",
+           "`imts` = InMemoryTableScan (persisted frame reference).",
+           "CAVEAT for rows with imts > 0: the formatted plan re-embeds",
+           "a persisted frame's FULL build subtree at every reference,",
+           "so the static `shuffles` count double-counts the producer",
+           "per reference; at runtime the cache materializes once and",
+           "every further reference is an in-memory scan — the static",
+           "number is an upper bound, not the executed shuffle count",
+           "(graph_triangles and the compound dictionary frames are the",
+           "persisted cases; see PLANS.md).\n",
            "| query | shuffles | range | bcast | reused | SMJ | SHJ |"
            " BHJ | BNLJ | cart | arrowPy | batchPy | grpPandas |"
-           " mapPandas | gen | wgl |",
-           "|---|---|---|---|---|---|---|---|---|---|---|---|---|---|---|---|"]
+           " mapPandas | gen | wgl | imts |",
+           "|---|---|---|---|---|---|---|---|---|---|---|---|---|---|---|---|---|"]
     for name, c in rows:
         if c is None:
             out.append(f"| {name} | *stateful streaming — audited in"
                        f" PLANS.md / tests/test_streaming.py* |"
-                       + " |" * 14)
+                       + " |" * 15)
             continue
         out.append("| {} | {} | {} | {} | {} | {} | {} | {} | {} | {} |"
-                   " {} | {} | {} | {} | {} | {} |".format(
+                   " {} | {} | {} | {} | {} | {} | {} |".format(
                        name, c["shuffles"], c["range_ex"], c["bcast_ex"],
                        c["reused"], c["smj"], c["shj"], c["bhj"],
                        c["bnlj"], c["cartesian"], c["arrow_py"],
                        c["batch_py"], c["pandas_grp"], c["map_pandas"],
-                       c["generate"], c["win_limit"]))
+                       c["generate"], c["win_limit"], c["imts"]))
     if bad:
         out.append("\n## Build failures\n")
         out += [f"- {n}: {e}" for n, e in bad]
