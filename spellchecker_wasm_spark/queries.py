@@ -6716,6 +6716,172 @@ FROM m
 """)
 
 
+# Canopy thresholds in SHARED-3-GRAM units (similarity, so loose means
+# the LOWER bar): membership needs >= _CANOPY_LOOSE shared grams with a
+# center, removal from center candidacy needs >= _CANOPY_TIGHT.  (3, 5)
+# on the 7-8-char slug fixture: blocking recall 0.9997 at sf0.01 with
+# candidates ~ truth volume and ~18% of points absorbed into canopies.
+_CANOPY_LOOSE = 3
+_CANOPY_TIGHT = 5
+
+
+def _q_canopy_blocking(spark, sf_dir):
+    """Canopy blocking (McCallum, Nigam & Ungar, KDD 2000) — the fifth
+    blocking family next to delete-key, SNM, q-gram, and Soundex, and
+    the classic CHEAP-DISTANCE pre-clustering: greedy center selection
+    under a tight threshold, overlapping canopy membership under a
+    loose one, candidate pairs = canopy co-members.  Cheap similarity
+    here is the shared-distinct-3-gram count (exact integers on both
+    engines).  One-row summary (n_centers, n_cand, n_tp, n_truth,
+    recall) against complete truth, same contract as the other
+    blocking-family rows.
+
+    The paper's greedy scan is sequential over the whole corpus; the
+    distributed form confines it to connected components of the
+    loose-similarity graph, which is EXACT, not an approximation:
+    every canopy interaction (tight-threshold candidacy removal,
+    loose-threshold membership) requires similarity >= loose > 0,
+    i.e. an edge — so points in different components never affect
+    each other and the global greedy in ascending-id order equals the
+    per-component greedy in ascending-id order.  Within a component
+    the greedy is one ordered HOF fold (aggregate with an
+    accumulating center array), the same bucket-collect shape
+    semdedup uses.
+
+    Scale shape: the gram inverted index bounds the similarity join
+    (qgram_blocking's audited shape, plus the HAVING >= loose cut);
+    connected components is the hybrid large-star/small-star operator
+    the linkage pipeline ships; component payloads are (id, 6-gram
+    array) structs bounded by the loose threshold's component sizes —
+    at web scale the loose bar is the knob that keeps components
+    bounded, exactly the paper's T1.  Zero Python anywhere."""
+    from .operators.clustering import connected_components
+
+    pages = _lk_pages(spark, sf_dir)
+    qg = pages.select(
+        "page_id",
+        F.explode(F.array_distinct(F.expr(
+            "transform(sequence(1, length(title) - 2), "
+            "i -> substring(title, i, 3))"))).alias("gram"))
+    a, b = qg.alias("a"), qg.alias("b")
+    sim = (a.join(b, (F.col("a.gram") == F.col("b.gram"))
+                  & (F.col("a.page_id") < F.col("b.page_id")))
+           .groupBy(F.col("a.page_id").alias("id_a"),
+                    F.col("b.page_id").alias("id_b"))
+           .agg(F.count(F.lit(1)).alias("ns"))
+           .where(F.col("ns") >= _CANOPY_LOOSE)
+           .select("id_a", "id_b"))
+    comp = connected_components(sim, "id_a", "id_b",
+                                nodes=pages.select("page_id"))
+    gset = qg.groupBy("page_id").agg(
+        F.array_sort(F.collect_list("gram")).alias("gs"))
+    asg = (gset.join(comp, gset["page_id"] == comp["node"])
+           .select(F.col("component").alias("cmp"), "page_id", "gs"))
+    grouped = asg.groupBy("cmp").agg(
+        F.array_sort(F.collect_list(
+            F.struct(F.col("page_id").alias("id"), "gs"))).alias("ms"))
+    centers = grouped.select("cmp", F.expr(
+        "aggregate(ms, CAST(array() AS "
+        "ARRAY<STRUCT<id: BIGINT, gs: ARRAY<STRING>>>), "
+        "(acc, x) -> IF(exists(acc, c -> "
+        f"size(array_intersect(c.gs, x.gs)) >= {_CANOPY_TIGHT}), "
+        "acc, array_append(acc, x)))").alias("cs"))
+    cent = (centers.select("cmp", F.explode("cs").alias("c"))
+            .select("cmp", F.col("c.id").alias("cid"),
+                    F.col("c.gs").alias("cgs")))
+    memb = (cent.join(asg, "cmp")
+            .where(F.expr(f"size(array_intersect(cgs, gs)) "
+                          f">= {_CANOPY_LOOSE}"))
+            .select("cmp", "cid", F.col("page_id").alias("id")))
+    x, y = memb.alias("x"), memb.alias("y")
+    cand = (x.join(y, (F.col("x.cid") == F.col("y.cid"))
+                   & (F.col("x.cmp") == F.col("y.cmp"))
+                   & (F.col("x.id") < F.col("y.id")))
+            .select(F.col("x.id").alias("id_a"),
+                    F.col("y.id").alias("id_b"))
+            .distinct())
+    truth = _lk_truth(pages)
+    m = (cand.withColumn("ic", F.lit(1))
+         .join(truth, ["id_a", "id_b"], "full_outer"))
+    n_centers = cent.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_centers"))
+    summary = m.agg(
+        F.sum(F.coalesce("ic", F.lit(0))).cast("bigint").alias("n_cand"),
+        F.sum(F.when(F.col("ic").isNotNull() & F.col("it").isNotNull(), 1)
+              .otherwise(0)).cast("bigint").alias("n_tp"),
+        F.sum(F.coalesce("it", F.lit(0))).cast("bigint").alias("n_truth"))
+    return (n_centers.crossJoin(summary)
+            .select("n_centers", "n_cand", "n_tp", "n_truth",
+                    (F.col("n_tp") / F.col("n_truth")).alias("recall")))
+
+
+_O_CANOPY_BLOCKING = ("WITH RECURSIVE " + _LK_SQL_PAGES + f""",
+qg AS (SELECT DISTINCT page_id, gram FROM (
+    SELECT page_id, unnest(list_transform(range(1, length(title) - 1),
+        i -> substr(title, CAST(i AS INTEGER), 3))) AS gram FROM pages)),
+gset AS (SELECT page_id, list(gram ORDER BY gram) AS gs
+         FROM qg GROUP BY page_id),
+sim AS (SELECT a.page_id AS id_a, b.page_id AS id_b
+        FROM qg a JOIN qg b
+          ON a.gram = b.gram AND a.page_id < b.page_id
+        GROUP BY 1, 2 HAVING count(*) >= {_CANOPY_LOOSE}),
+e AS (SELECT id_a AS a, id_b AS b FROM sim
+      UNION SELECT id_b, id_a FROM sim),
+reach(a, b) AS (SELECT a, b FROM e
+                UNION SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+comp AS (SELECT a AS node, least(a, min(b)) AS component
+         FROM reach GROUP BY a),
+casg AS (SELECT node, component FROM comp
+         UNION ALL SELECT page_id, page_id FROM pages
+         WHERE page_id NOT IN (SELECT node FROM comp)),
+pts AS (SELECT a.component AS cmp, a.node AS id, g.gs
+        FROM casg a JOIN gset g ON g.page_id = a.node),
+rk AS (SELECT cmp, id, gs,
+              row_number() OVER (PARTITION BY cmp ORDER BY id) AS r
+       FROM pts),
+rec(cmp, r, centers) AS (
+    SELECT cmp, 0, []::STRUCT(id BIGINT, gs VARCHAR[])[]
+    FROM rk GROUP BY cmp
+    UNION ALL
+    SELECT rec.cmp, rec.r + 1,
+           CASE WHEN len(list_filter(rec.centers, c ->
+                    len(list_intersect(c.gs, rk.gs)) >= {_CANOPY_TIGHT}
+                )) > 0
+                THEN rec.centers
+                ELSE list_append(rec.centers,
+                                 {{'id': rk.id, 'gs': rk.gs}}) END
+    FROM rec JOIN rk ON rk.cmp = rec.cmp AND rk.r = rec.r + 1),
+fin AS (SELECT cmp, max(r) AS mr FROM rec GROUP BY cmp),
+cent AS (SELECT rec.cmp, u.id AS cid, u.gs AS cgs
+         FROM rec JOIN fin ON rec.cmp = fin.cmp AND rec.r = fin.mr
+         CROSS JOIN UNNEST(rec.centers) AS t(u)),
+memb AS (SELECT c.cmp, c.cid, p.id
+         FROM cent c JOIN pts p ON p.cmp = c.cmp
+         WHERE len(list_intersect(c.cgs, p.gs)) >= {_CANOPY_LOOSE}),
+cand AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b
+         FROM memb x JOIN memb y
+           ON x.cid = y.cid AND x.cmp = y.cmp AND x.id < y.id),
+truth AS (SELECT a.page_id AS id_a, b.page_id AS id_b
+          FROM pages a JOIN pages b
+            ON a.page_id // 10 = b.page_id // 10
+           AND a.page_id < b.page_id),
+m AS (SELECT c.id_a AS ca, t.id_a AS ta
+      FROM cand c FULL OUTER JOIN truth t
+        ON c.id_a = t.id_a AND c.id_b = t.id_b)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM cent) AS n_centers,
+       CAST(sum(CASE WHEN ca IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_cand,
+       CAST(sum(CASE WHEN ca IS NOT NULL AND ta IS NOT NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_tp,
+       CAST(sum(CASE WHEN ta IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_truth,
+       CAST(sum(CASE WHEN ca IS NOT NULL AND ta IS NOT NULL
+                THEN 1 ELSE 0 END) AS DOUBLE)
+           / sum(CASE WHEN ta IS NOT NULL THEN 1 ELSE 0 END) AS recall
+FROM m
+""")
+
+
 def _q_recrawl_dedup(spark, sf_dir):
     """URL-level recrawl dedup: keep the NEWEST capture per canonical
     URL — the capture-dedup pass a Common-Crawl-style corpus runs
@@ -6864,11 +7030,12 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     "semdedup": (_q_semdedup, _o_semdedup()),
     "purity_quality": (_q_purity_quality, _O_PURITY_QUALITY),
     "media_frames": (_q_media_frames, _O_MEDIA_FRAMES),
-    "quality_filter": (_q_quality_filter, _O_QUALITY_FILTER),
+    # new this round — must carry a driver row (house rule)
+    "canopy_blocking": (_q_canopy_blocking, _O_CANOPY_BLOCKING),
     # two batch-equivalence streaming rows stay in the window (r3
     # verdict #8) so the driver certifies streaming beyond the flagship
-    # stream_incremental_linkage; lang_id/token_counts (stable simple
-    # scans, r2-certified) moved to the tail to make room
+    # stream_incremental_linkage; lang_id/token_counts/quality_filter
+    # (stable simple scans, r2-certified) moved to the tail to make room
     "stream_dedup_exact": (_q_stream_dedup_exact, _O_DEDUP_EXACT),
     "stream_event_sessions": (_q_stream_event_sessions, _O_EVENT_SESSIONS),
     # --- TAIL (past the ~50-row driver window; sweep-certified) -----
@@ -6945,6 +7112,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     "user_rolling": (_q_user_rolling, _O_USER_ROLLING),
     "lang_id": (_q_lang_id, _O_LANG_ID),
     "token_counts": (_q_token_counts, _O_TOKEN_COUNTS),
+    "quality_filter": (_q_quality_filter, _O_QUALITY_FILTER),
     "stream_recrawl_dedup": (_q_stream_recrawl_dedup, _O_RECRAWL_DEDUP),
     "stream_event_funnel": (_q_stream_event_funnel, _O_EVENT_FUNNEL),
     "stream_windowed_counts": (_q_stream_windowed_counts,

@@ -41,6 +41,8 @@ _REQUIRED_IN_WINDOW = {
     "term_clusters", "linkage_f1", "linkage_cluster_f1",
     "incremental_linkage", "stream_incremental_linkage",
     "stream_dedup_exact", "stream_event_sessions",
+    # blocking families (new-in-round rows must carry a driver row)
+    "canopy_blocking",
     # dedup suite
     "dedup_exact", "dedup_ngram_jaccard", "graph_triangles",
     "minhash_signatures", "minhash_lsh_dups", "dedup_lsh_clusters",

@@ -383,3 +383,64 @@ def test_purity_consistent_with_bcubed(sf_dir):
     # replay's Σ per-entity max equals the item count and ip comes out
     # 1.0 — but the assertion tracks the replay, not the constant
     assert ip == sum(by_ent.values()) / len(asg)
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_canopy_blocking_matches_independent_python(sf_dir):
+    """canopy_blocking's component-confined greedy must agree exactly
+    with a from-the-definition Python canopy (McCallum et al. 2000):
+    global ascending-id greedy scan, tight-threshold candidacy
+    removal, loose-threshold membership — run WITHOUT the component
+    confinement, which also witnesses that the confinement is exact.
+    Plus the semantic witnesses: recall >= 0.99, centers < points
+    (the tight threshold genuinely absorbs), and every truth pair the
+    canopies catch shares >= loose grams with a common center."""
+    from spellchecker_wasm_spark.queries import (
+        _CANOPY_LOOSE, _CANOPY_TIGHT, _LK_SQL_PAGES)
+
+    con = _con(sf_dir)
+    pages = con.sql("WITH " + _LK_SQL_PAGES
+                    + " SELECT page_id, title FROM pages").fetchall()
+    grams = {pid: frozenset(t[i:i + 3] for i in range(len(t) - 2))
+             for pid, t in pages}
+    # inverted index -> only gram-sharing pairs have nonzero sim
+    inv = {}
+    for pid, gs in grams.items():
+        for g in gs:
+            inv.setdefault(g, []).append(pid)
+    sim = {}
+    for ids in inv.values():
+        ids.sort()
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                sim[(a, b)] = sim.get((a, b), 0) + 1
+
+    def s(a, b):
+        return sim.get((a, b) if a < b else (b, a), 0)
+
+    centers, covered = [], set()
+    for pid in sorted(grams):             # GLOBAL greedy, no components
+        if any(s(c, pid) >= _CANOPY_TIGHT for c in covered):
+            continue
+        centers.append(pid)
+        covered.add(pid)
+    memb = {}
+    for c in centers:
+        memb[c] = {p for p in grams
+                   if p == c or s(c, p) >= _CANOPY_LOOSE}
+    cand = {(a, b)
+            for ms in memb.values()
+            for a in ms for b in ms if a < b}
+
+    row = con.sql(CATALOG["canopy_blocking"][1]).fetchone()
+    n_centers, n_cand, n_tp, n_truth, recall = row
+    assert n_centers == len(centers), (n_centers, len(centers))
+    assert n_cand == len(cand), (n_cand, len(cand))
+    truth = {(a, b) for a, _ in pages for b, _ in pages
+             if a < b and a // 10 == b // 10}
+    assert n_truth == len(truth)
+    assert n_tp == len(cand & truth)
+    assert recall == len(cand & truth) / len(truth)
+    assert recall >= 0.99, recall
+    assert n_centers < len(pages), "tight threshold never absorbed"
+    assert n_cand >= n_tp
