@@ -61,7 +61,16 @@ def run_level(cpus: int, sf_dir: str) -> dict:
     # in GC/shuffle-IO/Arrow threads, which silently inflates the small-N
     # baseline and understates N→4N efficiency.  taskset is the faithful
     # proxy for an N-core cluster slice.
-    cmd = ["taskset", "-c", f"0-{cpus - 1}", sys.executable, "bench.py"]
+    #
+    # SPREAD, not contiguous: round-4 measurement (BENCH/BASELINE.md
+    # "Round 4" section) showed contiguous vCPU ranges on this VM land on
+    # shared physical resources — the spread 8-leg (0,4,…,28) ran 24%
+    # faster with 15-24% fewer core-seconds than contiguous 0-7 on
+    # identical code.  A real cluster's executors own their cores, so
+    # maximally-separated vCPUs are the faithful proxy.
+    stride = max(1, 32 // cpus)
+    cpu_list = ",".join(str(i * stride) for i in range(cpus))
+    cmd = ["taskset", "-c", cpu_list, sys.executable, "bench.py"]
     out = subprocess.run(cmd, env=env,
                          capture_output=True, text=True, check=True,
                          cwd=os.path.dirname(os.path.abspath(__file__)))
