@@ -91,3 +91,77 @@ def clean_tokens(col):
     """Expression: strip the tokenizer's leading-separator quirk for the
     stages that want plain terms (blocking on web-page tokens)."""
     return F.regexp_replace(col, r"^[^\p{L}_]+", "")
+
+
+def soft_tfidf_dot_udf(theta: float):
+    """Column function: the unnormalized Soft-TFIDF dot product (Cohen,
+    Ravikumar & Fienberg, IIWeb 2003) over two parallel (tokens, integer
+    IDF weights) array pairs — Σ over A's tokens (array order) of
+    w_a · max_u∈B [ jw(t,u) · w_u  if jw(t,u) > θ else 0 ].
+
+    The max-PRODUCT form (max over jw·w_u) replaces the paper's argmax
+    token so the measure is tie-free: a max over doubles is
+    order-insensitive, where "weight of the argmax token" depends on
+    which of two equal-jw tokens an engine scans first.
+
+    Exactness contract (so the catalog row sits under the value-hash
+    oracle): the inner jw is kernels/jaro.jaro_winkler_batch —
+    bit-identical to DuckDB's builtin on ASCII inputs — each candidate
+    is one jw·w_u double multiply, the per-token max is over doubles,
+    the contribution is one w_a·best multiply, and the accumulation
+    runs LEFT-TO-RIGHT over A's array order (np.add.reduceat applies
+    the ufunc sequentially within a segment ≡ DuckDB list_reduce), so
+    every float op is the same IEEE op in the same order on both
+    engines.
+
+    Vectorization: per Arrow batch the ragged (a-token × b-token) cross
+    pairs are packed once (linear-time Python packing), the jw kernel
+    runs ONE numpy batch over all pairs, and the two reductions are
+    np.maximum.reduceat / np.add.reduceat segment ops — no per-row
+    Python in the O(cap²)·O(len²) hot path.  Both token arrays are
+    guaranteed non-empty by the callers' size(toks) > 0 filters
+    (reduceat's empty-segment quirk never fires)."""
+    import numpy as np
+
+    from ..kernels.jaro import jaro_winkler_batch
+
+    @pandas_udf(T.DoubleType())
+    def _dot(ta: pd.Series, wa: pd.Series, tb: pd.Series,
+             wb: pd.Series) -> pd.Series:
+        s1: list[str] = []
+        s2: list[str] = []
+        w2: list[int] = []
+        w1: list[int] = []
+        a_seg: list[int] = []   # per a-token: its candidate count |B|
+        row_nt: list[int] = []  # per row: its a-token count |A|
+        for A, WA, Bt, WB in zip(ta.tolist(), wa.tolist(),
+                                 tb.tolist(), wb.tolist()):
+            row_nt.append(len(A))
+            for t, w in zip(A, WA):
+                w1.append(w)
+                a_seg.append(len(Bt))
+                s1.extend(t for _ in Bt)
+                s2.extend(Bt)
+                w2.extend(WB)
+        jw = jaro_winkler_batch(s1, s2)
+        v = np.where(jw > theta,
+                     jw * np.asarray(w2, dtype=np.float64), 0.0)
+        seg = np.asarray(a_seg, dtype=np.int64)
+        if len(seg):
+            starts = np.zeros(len(seg), dtype=np.int64)
+            np.cumsum(seg[:-1], out=starts[1:])
+            best = np.maximum.reduceat(v, starts)
+        else:
+            best = np.zeros(0, dtype=np.float64)
+        contrib = np.asarray(w1, dtype=np.float64) * best
+        nt = np.asarray(row_nt, dtype=np.int64)
+        if len(nt):
+            rstarts = np.zeros(len(nt), dtype=np.int64)
+            np.cumsum(nt[:-1], out=rstarts[1:])
+            dots = np.add.reduceat(contrib, rstarts)
+        else:
+            dots = np.zeros(0, dtype=np.float64)
+        return pd.Series(dots, index=ta.index)
+
+    # same Catalyst-duplication guard as osa_distance_udf
+    return _dot.asNondeterministic()

@@ -755,6 +755,120 @@ FROM m
 """
 
 
+_STF_THETA = 0.9  # Cohen et al.'s CLOSE(θ) gate, both engines
+
+
+def _q_scored_pairs_soft_tfidf(spark, sf_dir):
+    """Soft-TFIDF hybrid comparator (Cohen, Ravikumar & Fienberg, IIWeb
+    2003 — their best-performing measure for name-like ER fields) as a
+    third second-level re-ranker beside Monge-Elkan: corpus IDF weights
+    decide how much a token match matters, Jaro-Winkler decides whether
+    two tokens match at all (jw > θ = 0.9), so a shared RARE
+    near-identical token dominates while shared stock words contribute
+    ~nothing.  The reference scores single terms with one edit-distance
+    kernel (sym_spell.rs:347); this is the corpus-weighted token-set
+    counterpart production linkage uses on multi-token title/host
+    fields.
+
+    Variant choices, explicit: binary TF (a doc's repeated token counts
+    once — weights stay exact integers, w = 1000000 div (df+1), the
+    same reciprocal-df resolution trick as dedup_tfidf_cosine) and the
+    tie-free max-PRODUCT form — per A-token the contribution is
+    max over u∈B of jw·w_u, not "w of the argmax token", because a max
+    over doubles is deterministic where argmax-under-ties is not.
+    Normalization is the docs' integer L2 norms, one double division
+    per pair.
+
+    Cross-engine exactness: tokens are ASCII-guarded per TOKEN (the jw
+    kernel is codepoint-based, DuckDB's builtin walks UTF-8 bytes —
+    same guard family as scored_pairs_jaro, applied inside the filter
+    lambda so a non-ASCII token drops without dropping its document);
+    each doc's (token, weight) arrays are sorted lexicographically by
+    the unique token so the left-to-right accumulation order is pinned
+    (sort_array(struct) ≡ list(... ORDER BY tok)); every float op is
+    documented in soft_tfidf_dot_udf.
+
+    Scale shape: the pair stream is the capped inverted-index
+    candidates; df is one narrow groupBy on exploded distinct tokens;
+    the bounded (≤cap) token/weight arrays attach via two equi-joins;
+    ONE ArrowEvalPython computes the dot (cap²-bounded per pair) and
+    the normalization stays in codegen.  No fan-out join, nothing
+    quadratic in the corpus."""
+    from .functions.udfs import soft_tfidf_dot_udf
+
+    pairs = _q_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    toks = F.expr(
+        f"slice(filter(split(text, ' '), x -> x <> '' AND "
+        f"octet_length(x) = length(x)), 1, {_ME_TOKEN_CAP})")
+    docs = (load(spark, sf_dir, "documents")
+            .where(F.col("text").isNotNull())
+            .select("doc_id", toks.alias("toks"))
+            .where(F.size("toks") > 0))
+    tok = docs.select("doc_id",
+                      F.explode(F.array_distinct("toks")).alias("tok"))
+    dft = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    tw = (tok.join(dft, "tok")
+          .select("doc_id", "tok",
+                  F.expr("div(1000000, df + 1)").alias("w")))
+    sides = (tw.groupBy("doc_id")
+             .agg(F.sort_array(F.collect_list(F.struct("tok", "w")))
+                  .alias("arr"),
+                  F.sum(F.col("w") * F.col("w")).alias("n2"))
+             .select("doc_id",
+                     F.expr("transform(arr, x -> x.tok)").alias("toks"),
+                     F.expr("transform(arr, x -> x.w)").alias("ws"),
+                     "n2"))
+    dot = soft_tfidf_dot_udf(_STF_THETA)
+    j = (pairs
+         .join(sides.select(F.col("doc_id").alias("doc_a"),
+                            F.col("toks").alias("tka"),
+                            F.col("ws").alias("wka"),
+                            F.col("n2").alias("n2a")), "doc_a")
+         .join(sides.select(F.col("doc_id").alias("doc_b"),
+                            F.col("toks").alias("tkb"),
+                            F.col("ws").alias("wkb"),
+                            F.col("n2").alias("n2b")), "doc_b"))
+    return (j.select("doc_a", "doc_b",
+                     dot(F.col("tka"), F.col("wka"),
+                         F.col("tkb"), F.col("wkb")).alias("dot"),
+                     "n2a", "n2b")
+            .select("doc_a", "doc_b",
+                    (F.col("dot") / (F.sqrt("n2a") * F.sqrt("n2b")))
+                    .alias("soft_tfidf")))
+
+
+_O_SCORED_SOFT_TFIDF = f"""
+WITH P AS (SELECT doc_a, doc_b FROM ({_O_NGRAM_JACCARD})),
+tk AS (SELECT * FROM (
+           SELECT doc_id,
+                  list_slice(list_filter(string_split(text, ' '),
+                                 x -> x <> '' AND strlen(x) = length(x)),
+                             1, {_ME_TOKEN_CAP}) AS toks
+           FROM documents WHERE text IS NOT NULL)
+       WHERE len(toks) > 0),
+tok AS (SELECT doc_id, unnest(list_distinct(toks)) AS tok FROM tk),
+dft AS (SELECT tok, count(*) AS df FROM tok GROUP BY tok),
+w AS (SELECT doc_id, tok.tok AS tok, 1000000 // (df + 1) AS w
+      FROM tok JOIN dft USING (tok)),
+arr AS (SELECT doc_id, list(tok ORDER BY tok) AS toks,
+               list(w ORDER BY tok) AS ws,
+               sum(w * w) AS n2
+        FROM w GROUP BY doc_id),
+m AS (SELECT doc_a, doc_b,
+             list_reduce(list_transform(a.toks, (t, i) -> a.ws[i] *
+                 list_max(list_transform(b.toks, (u, j) ->
+                     CASE WHEN jaro_winkler_similarity(t, u) > {_STF_THETA}
+                          THEN jaro_winkler_similarity(t, u) * b.ws[j]
+                          ELSE CAST(0 AS DOUBLE) END))),
+                 (acc, x) -> acc + x) AS dot,
+             a.n2 AS n2a, b.n2 AS n2b
+      FROM P JOIN arr a ON a.doc_id = doc_a
+             JOIN arr b ON b.doc_id = doc_b)
+SELECT doc_a, doc_b, dot / (sqrt(n2a) * sqrt(n2b)) AS soft_tfidf
+FROM m
+"""
+
+
 _TFIDF_COS_THRESHOLD = 0.25
 
 
@@ -7001,6 +7115,11 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
                                 _O_SCORED_SIMILARITY),
     "scored_pairs_similarity2": (_q_scored_pairs_similarity2,
                                  _O_SCORED_SIMILARITY2),
+    # new this round — must carry a driver row (house rule); makes room
+    # by demoting purity_quality (stable metric family; its siblings
+    # bcubed/ari are tail rows already) past the window
+    "scored_pairs_soft_tfidf": (_q_scored_pairs_soft_tfidf,
+                                _O_SCORED_SOFT_TFIDF),
     "scored_pairs_monge_elkan": (_q_scored_pairs_monge_elkan,
                                  _O_SCORED_MONGE_ELKAN),
     "term_clusters": (_q_term_clusters, _O_TERM_CLUSTERS),
@@ -7028,7 +7147,6 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     "ann_rrf_fusion": (_q_ann_rrf_fusion, _o_ann_rrf_fusion()),
     "kmeans_lloyd": (_q_kmeans_lloyd, _o_kmeans_lloyd()),
     "semdedup": (_q_semdedup, _o_semdedup()),
-    "purity_quality": (_q_purity_quality, _O_PURITY_QUALITY),
     "media_frames": (_q_media_frames, _O_MEDIA_FRAMES),
     # new this round — must carry a driver row (house rule)
     "canopy_blocking": (_q_canopy_blocking, _O_CANOPY_BLOCKING),
@@ -7039,6 +7157,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     "stream_dedup_exact": (_q_stream_dedup_exact, _O_DEDUP_EXACT),
     "stream_event_sessions": (_q_stream_event_sessions, _O_EVENT_SESSIONS),
     # --- TAIL (past the ~50-row driver window; sweep-certified) -----
+    "purity_quality": (_q_purity_quality, _O_PURITY_QUALITY),
     "golden_record": (_q_golden_record, _O_GOLDEN_RECORD),
     "cluster_stats": (_q_cluster_stats, _O_CLUSTER_STATS),
     "cluster_diameter": (_q_cluster_diameter, _O_CLUSTER_DIAMETER),

@@ -36,6 +36,7 @@ _REQUIRED_IN_WINDOW = {
     # §2.6 distance kernels
     "scored_pairs_osa", "scored_pairs_lev", "scored_pairs_similarity",
     "scored_pairs_similarity2", "scored_pairs_monge_elkan",
+    "scored_pairs_soft_tfidf",
     # linkage flagship + §2.9 incremental/streaming (r3 verdict #8:
     # 2+ batch-equivalence stream rows must carry driver rows)
     "term_clusters", "linkage_f1", "linkage_cluster_f1",
@@ -50,7 +51,10 @@ _REQUIRED_IN_WINDOW = {
     # embeddings / ANN / clustering / curation
     "embedding_knn", "dedup_embedding", "dedup_embedding_lsh",
     "ann_lsh_buckets", "ann_topk_lsh", "ann_ivf_topk", "ann_rrf_fusion",
-    "kmeans_lloyd", "semdedup", "purity_quality",
+    # purity_quality demoted to the tail in r4 to make room for
+    # scored_pairs_soft_tfidf: its metric siblings (bcubed_quality,
+    # ari_quality) are sweep-certified tail rows already
+    "kmeans_lloyd", "semdedup",
 }
 
 _WINDOW = 50

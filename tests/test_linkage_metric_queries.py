@@ -444,3 +444,75 @@ def test_canopy_blocking_matches_independent_python(sf_dir):
     assert recall >= 0.99, recall
     assert n_centers < len(pages), "tight threshold never absorbed"
     assert n_cand >= n_tp
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_soft_tfidf_matches_independent_python(sf_dir):
+    """scored_pairs_soft_tfidf must agree bit-for-bit with a
+    from-the-definition Python replay (distinct ASCII leading tokens,
+    reciprocal-df integer weights, scalar Jaro-Winkler θ-gate,
+    max-product inner term, left-to-right accumulation in sorted-token
+    order, integer-L2 normalization — weights/df/norms all recomputed
+    here from raw documents, NOT from the oracle's CTEs), and witness
+    the semantics: every score sits in [0, 1] (+1 ulp for the
+    perfect-match rounding), near-identical docs reach ≈1, and the
+    θ-gate actually bites (some candidate pair scores 0 even though
+    plain token overlap would score it)."""
+    import math
+
+    from spellchecker_wasm_spark.kernels.jaro import (
+        jaro_winkler_similarity)
+    from spellchecker_wasm_spark.queries import _ME_TOKEN_CAP, _STF_THETA
+
+    con = _con(sf_dir)
+    raw = con.sql(
+        "SELECT doc_id, text FROM documents WHERE text IS NOT NULL"
+    ).fetchall()
+    toks = {}
+    for doc_id, text in raw:
+        tt = [t for t in text.split(" ")
+              if t != "" and len(t.encode()) == len(t)][:_ME_TOKEN_CAP]
+        if tt:
+            toks[doc_id] = sorted(set(tt))
+    df = {}
+    for tt in toks.values():
+        for t in tt:
+            df[t] = df.get(t, 0) + 1
+    w = {d: [1000000 // (df[t] + 1) for t in tt]
+         for d, tt in toks.items()}
+    n2 = {d: sum(x * x for x in ws) for d, ws in w.items()}
+
+    def soft_tfidf(a, b):
+        acc = 0.0
+        for t, wt in zip(toks[a], w[a]):
+            best = 0.0
+            for u, wu in zip(toks[b], w[b]):
+                jw = jaro_winkler_similarity(t, u)
+                if jw > _STF_THETA:
+                    v = jw * wu
+                    if v > best:
+                        best = v
+            acc += wt * best
+        return acc / (math.sqrt(n2[a]) * math.sqrt(n2[b]))
+
+    rows = con.sql(CATALOG["scored_pairs_soft_tfidf"][1]).fetchall()
+    assert rows
+    for doc_a, doc_b, stf in rows:
+        assert stf == soft_tfidf(doc_a, doc_b), (doc_a, doc_b)
+        assert 0.0 <= stf <= 1.0 + 2 ** -50
+    assert max(r[2] for r in rows) >= 0.99
+    gate_bites = False
+    # the θ-gate claim: at least one (t, u) token pair among the scored
+    # pairs has 0 < jw ≤ θ (so a gate-free variant would score higher)
+    for doc_a, doc_b, _ in rows:
+        for t in toks[doc_a]:
+            for u in toks[doc_b]:
+                jw = jaro_winkler_similarity(t, u)
+                if 0.0 < jw <= _STF_THETA:
+                    gate_bites = True
+                    break
+            if gate_bites:
+                break
+        if gate_bites:
+            break
+    assert gate_bites

@@ -187,3 +187,13 @@ def test_monge_elkan_stays_jvm(spark):
     plan = _plan(spark, "scored_pairs_monge_elkan")
     assert "EvalPython" not in plan, plan
     assert "levenshtein(" in plan, plan
+
+
+def test_soft_tfidf_single_arrow_eval(spark):
+    # the Jaro-Winkler θ-gated dot is the ONE Python crossing (the
+    # asNondeterministic guard stops Catalyst duplicating it); weights,
+    # norms, token arrays and the normalization all stay in codegen,
+    # and nothing quadratic in the corpus exists (no cartesian)
+    plan = _plan(spark, "scored_pairs_soft_tfidf")
+    assert _count(plan, "ArrowEvalPython") == 1, plan
+    assert "CartesianProduct" not in plan, plan
