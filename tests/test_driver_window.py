@@ -43,14 +43,17 @@ _REQUIRED_IN_WINDOW = {
     "incremental_linkage", "stream_incremental_linkage",
     "stream_dedup_exact", "stream_event_sessions",
     # blocking families (new-in-round rows must carry a driver row)
-    "canopy_blocking",
+    "canopy_blocking", "suffix_blocking",
     # dedup suite
     "dedup_exact", "dedup_ngram_jaccard", "graph_triangles",
     "minhash_signatures", "minhash_lsh_dups", "dedup_lsh_clusters",
     "simhash", "simhash_dups",
     # embeddings / ANN / clustering / curation
     "embedding_knn", "dedup_embedding", "dedup_embedding_lsh",
-    "ann_lsh_buckets", "ann_topk_lsh", "ann_ivf_topk", "ann_rrf_fusion",
+    # ann_rrf_fusion demoted to the tail in r4 (fusion convenience over
+    # two ANN paths that both keep their own window rows) to make room
+    # for suffix_blocking
+    "ann_lsh_buckets", "ann_topk_lsh", "ann_ivf_topk",
     # purity_quality demoted to the tail in r4 to make room for
     # scored_pairs_soft_tfidf: its metric siblings (bcubed_quality,
     # ari_quality) are sweep-certified tail rows already

@@ -516,3 +516,43 @@ def test_soft_tfidf_matches_independent_python(sf_dir):
         if gate_bites:
             break
     assert gate_bites
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_suffix_blocking_matches_independent_python(sf_dir):
+    """suffix_blocking must agree exactly with a from-the-definition
+    Python suffix blocking (Aizawa & Oyama 2005): every suffix of
+    length ≥ min_len (whole key when shorter) is a block, blocks
+    larger than the cap are dropped, candidates are in-block pairs.
+    Plus the semantic witnesses that make it a useful sixth family
+    row: on the uniform-slug fixture every candidate is a TRUE pair
+    (precision 1.0 — unrelated slugs never share a ≥5-char tail) and
+    recall is structurally partial (only head-corrupted variants keep
+    a shared suffix), sitting strictly between 0 and the delete-key
+    family's 1.0."""
+    from spellchecker_wasm_spark.queries import (
+        _LK_SQL_PAGES, _SUFFIX_BLOCK_CAP, _SUFFIX_MIN_LEN)
+
+    con = _con(sf_dir)
+    pages = con.sql("WITH " + _LK_SQL_PAGES
+                    + " SELECT page_id, title FROM pages").fetchall()
+    blocks = {}
+    for pid, t in pages:
+        n = max(len(t) - _SUFFIX_MIN_LEN + 1, 1)
+        for i in range(n):
+            blocks.setdefault(t[i:], set()).add(pid)
+    cand = {(a, b)
+            for ids in blocks.values()
+            if 2 <= len(ids) <= _SUFFIX_BLOCK_CAP
+            for a in ids for b in ids if a < b}
+    truth = {(a, b) for a, _ in pages for b, _ in pages
+             if a < b and a // 10 == b // 10}
+
+    n_cand, n_tp, n_truth, recall = con.sql(
+        CATALOG["suffix_blocking"][1]).fetchone()
+    assert n_cand == len(cand), (n_cand, len(cand))
+    assert n_truth == len(truth)
+    assert n_tp == len(cand & truth)
+    assert recall == len(cand & truth) / len(truth)
+    assert n_cand == n_tp, "a non-truth pair shared a long suffix"
+    assert 0.0 < recall < 1.0, recall
