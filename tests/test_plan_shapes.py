@@ -197,3 +197,11 @@ def test_soft_tfidf_single_arrow_eval(spark):
     plan = _plan(spark, "scored_pairs_soft_tfidf")
     assert _count(plan, "ArrowEvalPython") == 1, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_affine_gap_single_arrow_eval(spark):
+    # the integer Gotoh DP is the ONE Python crossing over the audited
+    # blocking join; normalization stays in codegen
+    plan = _plan(spark, "scored_pairs_affine_gap")
+    assert _count(plan, "ArrowEvalPython") == 1, plan
+    assert "CartesianProduct" not in plan, plan
