@@ -585,6 +585,105 @@ JOIN sizes nb ON nb.doc_id = doc_b
 WHERE c * 1.0 / (na.n + nb.n - c) >= 0.2
 """
 
+def _q_dedup_prefix_jaccard(spark, sf_dir):
+    """EXACT set-similarity self-join via prefix filtering (SSJoin,
+    Chaudhuri et al. ICDE 2006; PPJoin, Xiao et al. WWW 2008) — the
+    classic way to make an UNCAPPED Jaccard join scale, and the exact
+    counterpart to dedup_ngram_jaccard's capped approximation: instead
+    of dropping hot buckets (which silently loses any pair glued only
+    by hot shingles), order the vocabulary rarest-first and index ONLY
+    each doc's PREFIX — the first |x| − ⌈t·|x|⌉ + 1 tokens in that
+    global order.  The prefix-filter lemma guarantees completeness:
+    J(x,y) ≥ t forces the two prefixes to share a token, so candidates
+    ⊇ all qualifying pairs, and the exact verify emits precisely
+    J ≥ t.  Hot stop-shingles land in SUFFIXES by construction (rare
+    tokens sort first), so no prefix posting list is Zipf-hot — the cap
+    problem dissolves instead of being patched.
+
+    t = 1/2 (binary-exact threshold; prefix length sz − ⌈sz/2⌉ + 1 =
+    ⌊sz/2⌋ + 1 via integer div on both engines).  Size-ratio prune:
+    J ≥ 1/2 forces max(sz) ≤ 2·min(sz), applied before the pair dedup.
+    Verification recomputes the exact intersection from the docs'
+    full sorted shingle lists (array_intersect of unique-element
+    arrays), so the emitted Jaccard is the true uncapped value — one
+    double division of exact integers on both engines.
+
+    Cross-engine determinism: the global order is (df, shingle) — df
+    attaches via the same count-window the tfidf row uses, the per-doc
+    sort is sort_array(struct(df, sh)) ≡ list(... ORDER BY df, sh),
+    total because shingles are distinct per doc.
+
+    Scale shape: one corpus scan; df window and per-doc pack are two
+    narrow shuffles; the candidate join exchanges slim (doc_id, sz,
+    prefix-shingle) rows whose posting lists the rarest-first order
+    keeps bounded; only CANDIDATE pairs (not the corpus) join back to
+    the full lists for the verify.  Zero Python anywhere.  At 10^12
+    docs this is the published exact-join recipe verbatim — prefix
+    postings shrink as t rises, and the verify is candidate-bounded."""
+    from pyspark.sql import Window
+
+    sh = _shingles(spark, sf_dir)
+    w = sh.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("sh")))
+    lst = (w.groupBy("doc_id")
+           .agg(F.sort_array(F.collect_list(F.struct("df", "sh")))
+                .alias("ts"),
+                F.count(F.lit(1)).alias("sz")))
+    pre = lst.select(
+        "doc_id", "sz",
+        F.expr("transform(slice(ts, 1, size(ts) - div(size(ts) + 1, 2) "
+               "+ 1), x -> x.sh)").alias("pre"))
+    px = pre.select("doc_id", "sz", F.explode("pre").alias("psh"))
+    a, b = px.alias("a"), px.alias("b")
+    cand = (a.join(b, (F.col("a.psh") == F.col("b.psh"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id"))
+                   & (F.greatest(F.col("a.sz"), F.col("b.sz"))
+                      <= 2 * F.least(F.col("a.sz"), F.col("b.sz"))))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct())
+    lists = lst.select("doc_id", F.expr("transform(ts, x -> x.sh)")
+                       .alias("ls"), "sz")
+    v = (cand
+         .join(lists.select(F.col("doc_id").alias("doc_a"),
+                            F.col("ls").alias("la"),
+                            F.col("sz").alias("sza")), "doc_a")
+         .join(lists.select(F.col("doc_id").alias("doc_b"),
+                            F.col("ls").alias("lb"),
+                            F.col("sz").alias("szb")), "doc_b")
+         .select("doc_a", "doc_b",
+                 F.size(F.array_intersect("la", "lb")).alias("i"),
+                 "sza", "szb"))
+    return (v.select("doc_a", "doc_b",
+                     (F.col("i").cast("double")
+                      / (F.col("sza") + F.col("szb") - F.col("i")))
+                     .alias("jaccard"))
+            .where(F.col("jaccard") >= 0.5))
+
+
+_O_PREFIX_JACCARD = f"""
+WITH {_SQL_SHINGLES},
+dft AS (SELECT sh, count(*) AS df FROM sh GROUP BY sh),
+w AS (SELECT doc_id, sh.sh AS sh, df FROM sh JOIN dft USING (sh)),
+lst AS (SELECT doc_id, list(sh ORDER BY df, sh) AS ls, count(*) AS sz
+        FROM w GROUP BY doc_id),
+pre AS (SELECT doc_id, sz,
+               unnest(list_slice(ls, 1, sz - (sz + 1) // 2 + 1)) AS psh
+        FROM lst),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM pre a JOIN pre b
+           ON a.psh = b.psh AND a.doc_id < b.doc_id
+          AND greatest(a.sz, b.sz) <= 2 * least(a.sz, b.sz)),
+v AS (SELECT doc_a, doc_b, len(list_intersect(la.ls, lb.ls)) AS i,
+             la.sz AS sza, lb.sz AS szb
+      FROM cand JOIN lst la ON la.doc_id = doc_a
+                JOIN lst lb ON lb.doc_id = doc_b)
+SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (sza + szb - i) AS jaccard
+FROM v
+WHERE CAST(i AS DOUBLE) / (sza + szb - i) >= 0.5
+"""
+
+
 def _q_graph_triangles(spark, sf_dir):
     """Triangle census of the near-dup graph (one row: nodes, edges,
     wedges, triangles, global clustering coefficient) — the graph-
@@ -7322,9 +7421,12 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
                                    _O_INCREMENTAL_LINKAGE),
     "dedup_exact": (_q_dedup_exact, _O_DEDUP_EXACT),
     "dedup_ngram_jaccard": (_q_dedup_ngram_jaccard, _O_NGRAM_JACCARD),
+    # new this round (house rule); makes room by demoting
+    # minhash_signatures (intermediate-artifact row whose two consumer
+    # rows minhash_lsh_dups / dedup_lsh_clusters keep their seats)
+    "dedup_prefix_jaccard": (_q_dedup_prefix_jaccard, _O_PREFIX_JACCARD),
     "dedup_tfidf_cosine": (_q_dedup_tfidf_cosine, _O_TFIDF_COSINE),
     "graph_triangles": (_q_graph_triangles, _O_GRAPH_TRIANGLES),
-    "minhash_signatures": (_q_minhash_signatures, _O_MINHASH_SIGNATURES),
     "minhash_lsh_dups": (_q_minhash_lsh_dups, _O_MINHASH_LSH),
     "dedup_lsh_clusters": (_q_dedup_lsh_clusters, _O_LSH_CLUSTERS),
     "simhash": (_q_simhash, _O_SIMHASH),
@@ -7352,6 +7454,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     "purity_quality": (_q_purity_quality, _O_PURITY_QUALITY),
     "ann_rrf_fusion": (_q_ann_rrf_fusion, _o_ann_rrf_fusion()),
     "embedding_knn": (_q_embedding_knn, _O_EMBEDDING_KNN),
+    "minhash_signatures": (_q_minhash_signatures, _O_MINHASH_SIGNATURES),
     "golden_record": (_q_golden_record, _O_GOLDEN_RECORD),
     "cluster_stats": (_q_cluster_stats, _O_CLUSTER_STATS),
     "cluster_diameter": (_q_cluster_diameter, _O_CLUSTER_DIAMETER),

@@ -603,3 +603,97 @@ def test_affine_gap_matches_independent_python(sf_dir):
         if sw_sim == 1.0 and len(ta) != len(tb):
             perfect = True  # a pure-insertion variant aligned perfectly
     assert perfect
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_prefix_jaccard_complete_vs_brute_force(sf_dir):
+    """The prefix-filter join must emit EXACTLY the uncapped brute-force
+    all-pairs result at J ≥ 1/2 — completeness is the whole claim of
+    the SSJoin/PPJoin construction (the capped inverted-index row drops
+    hot-bucket pairs by design; this one must not drop anything).  Also
+    witnesses the pruning: prefix candidates are a small fraction of
+    the pairs sharing any shingle."""
+    con = _con(sf_dir)
+    docs = con.sql(
+        "SELECT doc_id, text FROM documents WHERE text IS NOT NULL"
+    ).fetchall()
+    shingles = {}
+    for doc_id, text in docs:
+        toks = [t for t in text.split(" ") if t != ""]
+        if len(toks) >= 3:
+            shingles[doc_id] = {" ".join(toks[i:i + 3])
+                                for i in range(len(toks) - 2)}
+    # uncapped brute force over the inverted index
+    inv = {}
+    for d, ss in shingles.items():
+        for s in ss:
+            inv.setdefault(s, []).append(d)
+    sharing = set()
+    for ids in inv.values():
+        ids.sort()
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                sharing.add((a, b))
+    expect = {}
+    for a, b in sharing:
+        i = len(shingles[a] & shingles[b])
+        j = i / (len(shingles[a]) + len(shingles[b]) - i)
+        if j >= 0.5:
+            expect[(a, b)] = j
+
+    rows = con.sql(CATALOG["dedup_prefix_jaccard"][1]).fetchall()
+    got = {(a, b): j for a, b, j in rows}
+    assert set(got) == set(expect), (
+        set(expect) - set(got), set(got) - set(expect))
+    for k in expect:
+        assert got[k] == expect[k], (k, got[k], expect[k])
+
+    # the pruning witness: prefix candidates << sharing pairs
+    df = {s: len(ids) for s, ids in inv.items()}
+    pre = {}
+    for d, ss in shingles.items():
+        ordered = sorted(ss, key=lambda s: (df[s], s))
+        p = len(ordered) - (len(ordered) + 1) // 2 + 1
+        pre[d] = set(ordered[:p])
+    pinv = {}
+    for d, ps in pre.items():
+        for s in ps:
+            pinv.setdefault(s, []).append(d)
+    cand = set()
+    for ids in pinv.values():
+        ids.sort()
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                sa, sb = len(shingles[a]), len(shingles[b])
+                if max(sa, sb) <= 2 * min(sa, sb):
+                    cand.add((a, b))
+    assert set(expect) <= cand
+    assert len(cand) < 0.2 * len(sharing), (len(cand), len(sharing))
+
+
+def test_prefix_filter_lemma_random_sets():
+    """The prefix-filter lemma itself, engine-free: for random small
+    sets under a random global total order, every pair with J ≥ 1/2
+    shares a token within the first |x| − ⌈|x|/2⌉ + 1 tokens of BOTH
+    sides' global-order-sorted lists."""
+    import random
+
+    rng = random.Random(123)
+    universe = list(range(40))
+    for trial in range(300):
+        order = {u: r for r, u in enumerate(
+            rng.sample(universe, len(universe)))}
+        sets = [frozenset(rng.sample(universe, rng.randint(1, 12)))
+                for _ in range(12)]
+        for ia in range(len(sets)):
+            for ib in range(ia + 1, len(sets)):
+                A, B = sets[ia], sets[ib]
+                i = len(A & B)
+                if i / (len(A) + len(B) - i) < 0.5:
+                    continue
+                pa = sorted(A, key=order.get)
+                pb = sorted(B, key=order.get)
+                na = len(pa) - (len(pa) + 1) // 2 + 1
+                nb = len(pb) - (len(pb) + 1) // 2 + 1
+                assert set(pa[:na]) & set(pb[:nb]), (
+                    trial, sorted(A), sorted(B))

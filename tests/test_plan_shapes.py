@@ -205,3 +205,12 @@ def test_affine_gap_single_arrow_eval(spark):
     plan = _plan(spark, "scored_pairs_affine_gap")
     assert _count(plan, "ArrowEvalPython") == 1, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_prefix_jaccard_stays_jvm(spark):
+    # the exact SSJoin is pure Catalyst: window df, per-doc pack,
+    # slim prefix self-join, candidate-bounded verify — no Python,
+    # nothing quadratic in the corpus
+    plan = _plan(spark, "dedup_prefix_jaccard")
+    assert "EvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
