@@ -256,13 +256,17 @@ def main() -> None:
     print(compact_summary_line(out, full_path))
 
 
-# the stdout summary names only these; the BENCH/ window file has all 123
+# the stdout summary names only these; the BENCH/ window file has the
+# full catalog
 _HEADLINE_QUERIES = (
     "linkage_pipeline", "compound_known", "word_segmentation",
     "lookup_top", "scored_pairs_osa", "term_clusters",
     "dedup_ngram_jaccard", "minhash_lsh_dups", "dedup_lsh_clusters",
     "dedup_embedding_lsh", "ann_ivf_topk", "kmeans_lloyd", "semdedup",
     "curation_funnel", "graph_triangles",
+    # round-4 additions, so the driver-parsed line carries them too
+    "scored_pairs_affine_gap", "scored_pairs_soft_tfidf",
+    "dedup_prefix_jaccard", "suffix_blocking",
 )
 
 
