@@ -18,6 +18,24 @@ per session).
 
 Usage: python scripts/probe_bandwidth.py [nprocs]   (default 8)
 Prints one JSON line: {"nprocs": 8, "agg_gb_s": ..., "per_proc": [...]}
+
+Calibration (round-4 session, BENCH/BASELINE.md "probe-calibrated"
+section — probe immediately before a spread-pinned 8-leg on the 800k-
+entity protocol input):
+
+| probe agg GB/s | per-proc min | 8-leg wall s | cpu core-s |
+|---|---|---|---|
+| 92.0  | 9.6 (2 stragglers) | 477.2 | 2365 |
+| 106.9 | 13.1 (uniform)     | 335.5 | 2004 |
+| 131.4 | 15.9 (uniform)     | 358.7 | 2027 |
+
+Read: per-proc min < ~12 GB/s or spread > ~25% -> do NOT launch a leg
+(acute neighbor pressure).  Above ~13 GB/s/proc the probe saturates as
+a discriminator — this boot's ~2000 core-s floor persists regardless,
+vs ~1300 on the round-3 passing boots, so flat-counter windows are a
+BOOT property the guest-side probe cannot detect.  Gate #2 therefore:
+run one short 8-leg and only spend the 2-leg if its core-seconds land
+within ~1.15x of the best recorded 2-leg (~1220 core-s).
 """
 
 from __future__ import annotations
