@@ -68,7 +68,9 @@ def run_level(cpus: int, sf_dir: str) -> dict:
     # faster with 15-24% fewer core-seconds than contiguous 0-7 on
     # identical code.  A real cluster's executors own their cores, so
     # maximally-separated vCPUs are the faithful proxy.
-    stride = max(1, 32 // cpus)
+    # derive from the actual topology (a 16-vCPU host would otherwise get
+    # taskset ids past the last CPU; a 64-vCPU host a half-width spread)
+    stride = max(1, (os.cpu_count() or 32) // cpus)
     cpu_list = ",".join(str(i * stride) for i in range(cpus))
     cmd = ["taskset", "-c", cpu_list, sys.executable, "bench.py"]
     out = subprocess.run(cmd, env=env,

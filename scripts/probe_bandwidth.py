@@ -1,5 +1,7 @@
 #!/usr/bin/env python
-"""10-second memory-bandwidth window probe for the scaling protocol.
+"""Memory-bandwidth window probe for the scaling protocol (~3 s of
+measurement per worker, all workers concurrent, so a run is ~4 s
+wall).
 
 Round-4 finding (BENCH/BASELINE.md): the 2->8 scaling reading on this
 shared box is set almost entirely by how hard the hypervisor neighbors

@@ -7112,9 +7112,17 @@ FROM m
 # candidates ~ truth volume and ~18% of points absorbed into canopies.
 _CANOPY_LOOSE = 3
 _CANOPY_TIGHT = 5
+# component-size guard (VERDICT r4 #2): loose-graph components larger
+# than this are dropped from canopy formation, with drop accounting in
+# the summary row.  Sized an order of magnitude above the fixture's
+# largest natural loose component so the default never bites in the
+# driver window; at web scale the operator caller sizes it to the
+# collect_list row budget (a component row is ~≈ csz × (8 B id + ~30
+# 3-grams × 3 B)).
+_CANOPY_MAX_COMP = 1000
 
 
-def _q_canopy_blocking(spark, sf_dir):
+def _q_canopy_blocking(spark, sf_dir, max_component=None):
     """Canopy blocking (McCallum, Nigam & Ungar, KDD 2000) — the fifth
     blocking family next to delete-key, SNM, q-gram, and Soundex, and
     the classic CHEAP-DISTANCE pre-clustering: greedy center selection
@@ -7142,8 +7150,21 @@ def _q_canopy_blocking(spark, sf_dir):
     connected components is the hybrid large-star/small-star operator
     the linkage pipeline ships; component payloads are (id, 6-gram
     array) structs bounded by the loose threshold's component sizes —
-    at web scale the loose bar is the knob that keeps components
-    bounded, exactly the paper's T1.  Zero Python anywhere."""
+    the loose bar is the paper's T1 knob, but a knob is not a guard
+    (VERDICT r4 #2): on a skewed real corpus one stock-phrase-dominated
+    loose component is a single-row OOM in the per-component
+    collect_list fold.  So, mirroring ``cap_hot_blocks``: components
+    larger than ``max_component`` (default ``_CANOPY_MAX_COMP``) are
+    DROPPED from canopy formation entirely — never silently; the
+    summary row carries ``n_dropped_components`` / ``n_dropped_pages``
+    so the drop is lineage-visible, and the identical cut is applied
+    in the DuckDB oracle.  The anti-join broadcasts only the oversized
+    component ids (≤ N/cap of them by construction), so the big side
+    never reshuffles.  Dropping (not sampling) is the right semantics
+    for blocking: a component that big under the loose bar is
+    stop-gram noise whose pairs verification would reject wholesale,
+    the same judgment cap_hot_blocks makes for hot posting lists.
+    Zero Python anywhere."""
     from .operators.clustering import connected_components
 
     pages = _lk_pages(spark, sf_dir)
@@ -7174,6 +7195,14 @@ def _q_canopy_blocking(spark, sf_dir):
     asg = (gset.join(comp, gset["page_id"] == comp["node"])
            .select(F.col("component").alias("cmp"), "page_id", "gs")
            .persist())
+    mc = max_component or _CANOPY_MAX_COMP
+    sizes = asg.groupBy("cmp").agg(F.count(F.lit(1)).alias("csz"))
+    big = sizes.where(F.col("csz") > mc).persist()
+    drop = big.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_dropped_components"),
+        F.coalesce(F.sum("csz"), F.lit(0)).cast("bigint")
+        .alias("n_dropped_pages"))
+    asg = asg.join(F.broadcast(big.select("cmp")), "cmp", "left_anti")
     grouped = asg.groupBy("cmp").agg(
         F.array_sort(F.collect_list(
             F.struct(F.col("page_id").alias("id"), "gs"))).alias("ms"))
@@ -7209,12 +7238,19 @@ def _q_canopy_blocking(spark, sf_dir):
         F.sum(F.when(F.col("ic").isNotNull() & F.col("it").isNotNull(), 1)
               .otherwise(0)).cast("bigint").alias("n_tp"),
         F.sum(F.coalesce("it", F.lit(0))).cast("bigint").alias("n_truth"))
-    return (n_centers.crossJoin(summary)
+    return (n_centers.crossJoin(summary).crossJoin(drop)
             .select("n_centers", "n_cand", "n_tp", "n_truth",
-                    (F.col("n_tp") / F.col("n_truth")).alias("recall")))
+                    (F.col("n_tp") / F.col("n_truth")).alias("recall"),
+                    "n_dropped_components", "n_dropped_pages"))
 
 
-_O_CANOPY_BLOCKING = ("WITH RECURSIVE " + _LK_SQL_PAGES + f""",
+def _o_canopy_blocking_sql(max_component=None):
+    """DuckDB oracle for canopy blocking, parameterized on the
+    component-size cap so tests can verify engine parity at a cap that
+    bites on the fixture (the committed catalog entry uses the
+    default)."""
+    mc = max_component or _CANOPY_MAX_COMP
+    return ("WITH RECURSIVE " + _LK_SQL_PAGES + f""",
 qg AS (SELECT DISTINCT page_id, gram FROM (
     SELECT page_id, unnest(list_transform(range(1, length(title) - 1),
         i -> substr(title, CAST(i AS INTEGER), 3))) AS gram FROM pages)),
@@ -7235,9 +7271,15 @@ casg AS (SELECT node, component FROM comp
          WHERE page_id NOT IN (SELECT node FROM comp)),
 pts AS (SELECT a.component AS cmp, a.node AS id, g.gs
         FROM casg a JOIN gset g ON g.page_id = a.node),
+csz AS (SELECT cmp, count(*) AS csz FROM pts GROUP BY cmp),
+dropped AS (SELECT CAST(count(*) AS BIGINT) AS ndc,
+                   CAST(coalesce(sum(csz), 0) AS BIGINT) AS ndp
+            FROM csz WHERE csz > {mc}),
+kept AS (SELECT p.* FROM pts p JOIN csz s ON s.cmp = p.cmp
+         WHERE s.csz <= {mc}),
 rk AS (SELECT cmp, id, gs,
               row_number() OVER (PARTITION BY cmp ORDER BY id) AS r
-       FROM pts),
+       FROM kept),
 rec(cmp, r, centers) AS (
     SELECT cmp, 0, []::STRUCT(id BIGINT, gs VARCHAR[])[]
     FROM rk GROUP BY cmp
@@ -7255,7 +7297,7 @@ cent AS (SELECT rec.cmp, u.id AS cid, u.gs AS cgs
          FROM rec JOIN fin ON rec.cmp = fin.cmp AND rec.r = fin.mr
          CROSS JOIN UNNEST(rec.centers) AS t(u)),
 memb AS (SELECT c.cmp, c.cid, p.id
-         FROM cent c JOIN pts p ON p.cmp = c.cmp
+         FROM cent c JOIN kept p ON p.cmp = c.cmp
          WHERE len(list_intersect(c.cgs, p.gs)) >= {_CANOPY_LOOSE}),
 cand AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b
          FROM memb x JOIN memb y
@@ -7276,9 +7318,14 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM cent) AS n_centers,
            AS n_truth,
        CAST(sum(CASE WHEN ca IS NOT NULL AND ta IS NOT NULL
                 THEN 1 ELSE 0 END) AS DOUBLE)
-           / sum(CASE WHEN ta IS NOT NULL THEN 1 ELSE 0 END) AS recall
+           / sum(CASE WHEN ta IS NOT NULL THEN 1 ELSE 0 END) AS recall,
+       (SELECT ndc FROM dropped) AS n_dropped_components,
+       (SELECT ndp FROM dropped) AS n_dropped_pages
 FROM m
 """)
+
+
+_O_CANOPY_BLOCKING = _o_canopy_blocking_sql()
 
 
 def _q_recrawl_dedup(spark, sf_dir):

@@ -33,9 +33,16 @@ def get_spark(app_name: str = "spellchecker_wasm_spark",
         # shuffle-hash build side scales with partition size).
         shuffle_partitions = int(os.environ.get(
             "SPARK_GRAFT_SHUFFLE_PARTITIONS", max(2 * cpus, 8)))
+    # SPARK_GRAFT_MASTER overrides the default local[N] — used by the
+    # scaling harness to run a true multi-process pair
+    # (local-cluster[N,cores,mem]: one JVM per executor, real
+    # netty/shuffle-service exchange) so a shared-JVM confound can't
+    # explain a scaling reading.  Everything else (AQE, Arrow, UDS,
+    # shuffle partitions) stays identical across masters.
+    master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
     b = (
         SparkSession.builder.appName(app_name)
-        .master(f"local[{cpus}]")
+        .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.default.parallelism", str(cpus))
         .config("spark.sql.session.timeZone", "UTC")

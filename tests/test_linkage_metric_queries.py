@@ -433,7 +433,12 @@ def test_canopy_blocking_matches_independent_python(sf_dir):
             for a in ms for b in ms if a < b}
 
     row = con.sql(CATALOG["canopy_blocking"][1]).fetchone()
-    n_centers, n_cand, n_tp, n_truth, recall = row
+    (n_centers, n_cand, n_tp, n_truth, recall,
+     n_dropped_components, n_dropped_pages) = row
+    # the Python replay has NO component cap, so the equalities below
+    # also witness that the default _CANOPY_MAX_COMP never bites on the
+    # fixture (drops must say so explicitly)
+    assert n_dropped_components == 0 and n_dropped_pages == 0
     assert n_centers == len(centers), (n_centers, len(centers))
     assert n_cand == len(cand), (n_cand, len(cand))
     truth = {(a, b) for a, _ in pages for b, _ in pages
