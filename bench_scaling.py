@@ -55,6 +55,19 @@ def run_level(cpus: int, sf_dir: str) -> dict:
                SPARK_GRAFT_SF_DIR=sf_dir, BENCH_MODE="pipeline",
                SPARK_GRAFT_DRIVER_MEM=f"{min(64, 4 * cpus)}g",
                BENCH_ENTITIES=os.environ.get("BENCH_ENTITIES", "200000"))
+    # BENCH_CLUSTER=1 (VERDICT r4 #6): run the leg as a TRUE multi-
+    # process cluster — local-cluster[N,1,4096] launches one worker JVM
+    # per executor with a real netty block-transfer exchange between
+    # them, so a shared-JVM confound (one GC, one shuffle-IO pool, one
+    # page-cache view) cannot explain the scaling reading.  Per-core
+    # memory budget matches the thread protocol (4 GB/core: 4096 MB
+    # worker / 3g executor heap); the driver gets a fixed 8g since it
+    # no longer hosts the executors.
+    if os.environ.get("BENCH_CLUSTER") == "1":
+        env["SPARK_GRAFT_MASTER"] = f"local-cluster[{cpus},1,4096]"
+        env["SPARK_GRAFT_DRIVER_MEM"] = "8g"
+        env["SPARK_GRAFT_EXTRA_CONF"] = json.dumps(
+            {"spark.executor.memory": "3g"})
     # Pin the WHOLE process tree (JVM + Python workers) to exactly `cpus`
     # hardware threads.  local[N] bounds only task slots: /proc counters
     # (scripts/diag_cpu.py) showed a "local[2]" leg burning ~2.6-3 cores
@@ -70,8 +83,13 @@ def run_level(cpus: int, sf_dir: str) -> dict:
     # maximally-separated vCPUs are the faithful proxy.
     # derive from the actual topology (a 16-vCPU host would otherwise get
     # taskset ids past the last CPU; a 64-vCPU host a half-width spread)
-    stride = max(1, (os.cpu_count() or 32) // cpus)
-    cpu_list = ",".join(str(i * stride) for i in range(cpus))
+    # cluster mode pins N+1 cores: N executor cores plus one for the
+    # driver JVM, which a real cluster runs on a separate machine (in
+    # the thread protocol the driver IS the executor JVM, so N is the
+    # faithful budget there)
+    nslots = cpus + (1 if os.environ.get("BENCH_CLUSTER") == "1" else 0)
+    stride = max(1, (os.cpu_count() or 32) // nslots)
+    cpu_list = ",".join(str(i * stride) for i in range(nslots))
     cmd = ["taskset", "-c", cpu_list, sys.executable, "bench.py"]
     out = subprocess.run(cmd, env=env,
                          capture_output=True, text=True, check=True,

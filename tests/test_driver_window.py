@@ -44,12 +44,13 @@ _REQUIRED_IN_WINDOW = {
     "stream_dedup_exact", "stream_event_sessions",
     # blocking families (new-in-round rows must carry a driver row)
     "canopy_blocking", "suffix_blocking",
-    # dedup suite (minhash_signatures demoted to the tail in r4 —
-    # intermediate-artifact row whose two consumer rows keep their
-    # seats — to make room for the exact prefix-filter join)
+    # dedup suite (minhash_signatures demoted to the tail in r4,
+    # simhash demoted in r5 — both intermediate-artifact rows whose
+    # consumer rows keep their seats — to make room for the exact
+    # prefix-filter join and the r5 LSH-vs-exact recall head-to-head)
     "dedup_exact", "dedup_ngram_jaccard", "dedup_prefix_jaccard",
     "graph_triangles", "minhash_lsh_dups", "dedup_lsh_clusters",
-    "simhash", "simhash_dups",
+    "lsh_recall_vs_exact", "simhash_dups",
     # embeddings / ANN / clustering / curation (embedding_knn demoted
     # to the tail in r4 — stable exact-kNN baseline with an r2 driver
     # row — to make room for scored_pairs_affine_gap)
