@@ -232,11 +232,14 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     mode = os.environ.get("BENCH_MODE", "full")
     sf_name = os.path.basename(sf_dir.rstrip("/"))
+    # sample loadavg BEFORE the gate: the gate's own 8-way probe pushes
+    # loadavg up for a minute, which would pollute the host disclosure
+    # (the r5 window1 record read loadavg_start 2.82 on a 0.14 window)
+    la_start = os.getloadavg()[0]
     # pipeline-mode legs are gated by the scaling harness's own two-gate
     # protocol; double-probing there would perturb its quiesce windows
     gate = (_window_gate() if mode == "full"
             and os.environ.get("BENCH_GATE", "1") != "0" else None)
-    la_start = os.getloadavg()[0]
     cpu_start = _tree_cpu_core_sec()
     t_start = time.time()
     spark = get_spark(app_name=f"bench-{sf_name}", cpus=cpus)
