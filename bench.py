@@ -323,6 +323,9 @@ _HEADLINE_QUERIES = (
     # round-4 additions, so the driver-parsed line carries them too
     "scored_pairs_affine_gap", "scored_pairs_soft_tfidf",
     "dedup_prefix_jaccard", "suffix_blocking",
+    # round-5 addition (guarded canopy is already mid-pack via the full
+    # record; the recall head-to-head is the round's new shelf row)
+    "lsh_recall_vs_exact",
 )
 
 
