@@ -167,6 +167,47 @@ produce a 2→8 reading: the 2-thread leg's cluster-faithful budget
 """
 
 
+GATE2_CORE_S_BAR = 1400.0  # ≈1.15× the best recorded 2-leg (1220 core-s)
+
+
+def gate2() -> int:
+    """The two-gate launch pre-check (BENCH/BASELINE.md round-4
+    protocol), automated: `python bench_scaling.py gate2`.
+
+    Gate 1 — 8-way streaming-bandwidth probe + loadavg (screens acutely
+    degraded windows: per-proc min ≥ 12 GB/s, spread ≤ 25%, loadavg
+    < 2).  Gate 2 — ONE spread-pinned 8-leg at the protocol input; its
+    total CPU core-seconds must land under GATE2_CORE_S_BAR (within
+    ~1.15× of the best recorded 2-leg) — i.e. the boot is in the
+    flat-counter regime where the 13-minute 2-leg can produce a
+    meaningful N→4N ratio.  Exit 0 = spend the 2-leg now.  The 8-leg's
+    full record is archived to BENCH/ by bench.py either way, so every
+    attempt leaves a ledger entry."""
+    import subprocess as sp
+    la = os.getloadavg()[0]
+    probe = json.loads(sp.run(
+        [sys.executable, "scripts/probe_bandwidth.py", "8"],
+        capture_output=True, text=True, check=True).stdout)
+    per = probe["per_proc"]
+    spread = (max(per) - min(per)) / max(per) * 100 if per else 100.0
+    g1 = la < 2.0 and min(per) >= 12.0 and spread <= 25.0
+    out = {"gate1": {"loadavg": round(la, 2), "min_gbps": min(per),
+                     "spread_pct": round(spread, 1), "passed": g1}}
+    if not g1:
+        print(json.dumps(out | {"verdict": "do-not-launch"}))
+        return 1
+    os.environ.setdefault("BENCH_ENTITIES", "800000")
+    r = run_level(8, os.environ.get("SPARK_GRAFT_SF_DIR",
+                                    "/root/testdata/sf0.1"))
+    cs = r["pipeline"]["cpu_core_sec"]["total"]
+    ok = cs <= GATE2_CORE_S_BAR
+    out["gate2"] = {"core_sec_total": cs, "bar": GATE2_CORE_S_BAR,
+                    "wall_sec": r["pipeline"]["total_sec"], "passed": ok}
+    out["verdict"] = "spend-the-2-leg" if ok else "do-not-spend-the-2-leg"
+    print(json.dumps(out))
+    return 0 if ok else 1
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     repeats = int(os.environ.get("BENCH_REPEATS", "2"))
@@ -279,4 +320,6 @@ multiply instead of share.
 
 
 if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "gate2":
+        sys.exit(gate2())
     main()
