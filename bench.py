@@ -299,6 +299,11 @@ def main() -> None:
     }
     if gate is not None:
         out["gate"] = gate
+    # conf-trial provenance: a leg run with a Spark conf override must
+    # say so in its archived record (the zstd-codec trial was otherwise
+    # distinguishable only by the curated ledger's narrative)
+    if os.environ.get("SPARK_GRAFT_EXTRA_CONF"):
+        out["extra_conf"] = json.loads(os.environ["SPARK_GRAFT_EXTRA_CONF"])
     # Host disclosure: this box is shared, and readings taken in a
     # degraded window have historically been 3-10x off (BENCH/*.md).
     # loadavg bracketing + this run's own java/python CPU make external
