@@ -68,14 +68,23 @@ def standing_index(pages: DataFrame, asg: DataFrame,
     (block_key, ex_id, el, term_b, component).  This is the table a
     production deployment checkpoints (the blocks stage of
     pipeline/lineage) joined with the current assignment; callers
-    persist it across probe batches."""
-    eb = _explode_keys(pages, "ex_id", "el", id_col, term_col,
-                       max_edit_distance, prefix_length)
-    return (eb.join(pages.select(F.col(id_col).alias("ex_id"),
-                                 F.col(term_col).alias("term_b")),
-                    "ex_id")
-            .join(asg.select(F.col(id_col).alias("ex_id"), "component"),
-                  "ex_id"))
+    persist it across probe batches.
+
+    r6: the term payload rides the key explode itself (keep_cols) —
+    the explode is a pure projection, so carrying term_b through it is
+    free and removes the pages re-join entirely (2 joins → 1; the one
+    remaining join attaches the component map, broadcast-sized)."""
+    eb = delete_key_hash_explode(
+        pages.select(F.col(id_col).alias("ex_id"),
+                     F.col(term_col).alias("term_b"),
+                     F.length(term_col).alias("el"),
+                     F.substring(term_col, 1, prefix_length)
+                     .alias("prefix")),
+        "prefix", max_edit_distance=max_edit_distance,
+        prefix_length=prefix_length,
+        keep_cols=["ex_id", "term_b", "el"])
+    return eb.join(asg.select(F.col(id_col).alias("ex_id"), "component"),
+                   "ex_id")
 
 
 def assign_new_records(new: DataFrame, pages: DataFrame, asg: DataFrame,

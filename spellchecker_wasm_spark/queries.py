@@ -258,15 +258,21 @@ WHERE term NOT IN (SELECT term FROM comp)
 
 
 def _lookup_inputs(spark, sf_dir):
+    # PERSISTED shared subtrees (guide §5): five lookup catalog rows
+    # (closest/top/all/closest_self/top_unknown) rebuild this dictionary
+    # aggregation and probe set; the first materializes, the rest read
+    # cache.  Vocabulary-bounded rows.
     words = (_tokens(spark, sf_dir).groupBy("term")
              .agg(F.count(F.lit(1)).alias("count"))
-             .where(F.length("term") >= 2))
+             .where(F.length("term") >= 2)
+             .persist())
     probes = (words.where(F.length("term") >= 4)
               .select(F.expr("substring(term, 1, length(term) - 1)")
                       .alias("query"))
               .distinct()
               .join(words.select(F.col("term").alias("query")), "query",
-                    "left_anti"))
+                    "left_anti")
+              .persist())
     return probes, words
 
 
@@ -508,13 +514,21 @@ _O_DEDUP_EXACT = ("SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, "
 def _shingles(spark, sf_dir):
     docs = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     arr = F.expr("filter(split(text, ' '), x -> x <> '')")
+    # PERSISTED shared subtree (guide §5: cache only reused frames): six
+    # catalog entries (ngram/prefix/tfidf dedup, minhash signatures →
+    # LSH dups/clusters/recall) all start from this scan+explode+dedup;
+    # within one session the first consumer materializes it and the rest
+    # reuse via plan-canonicalization cache lookup — the exact mechanism
+    # bench.py documents for the compound family.  (doc_id, 3-shingle)
+    # rows, corpus-linear, spills to disk at scale.
     return (docs.select("doc_id", arr.alias("arr"))
             .where(F.size("arr") >= 3)
             .select("doc_id", F.explode(F.expr(
                 "transform(sequence(1, size(arr) - 2), i -> "
                 "concat(element_at(arr, i), ' ', element_at(arr, i + 1), "
                 "' ', element_at(arr, i + 2)))")).alias("sh"))
-            .dropDuplicates(["doc_id", "sh"]))
+            .dropDuplicates(["doc_id", "sh"])
+            .persist())
 
 
 _SQL_SHINGLES = """
@@ -561,12 +575,15 @@ def _q_dedup_ngram_jaccard(spark, sf_dir):
         "y -> struct(x.doc_id AS doc_a, y.doc_id AS doc_b, "
         "x.n AS na, y.n AS nb))))")).alias("p"))
         .select("p.doc_a", "p.doc_b", "p.na", "p.nb"))
+    # PERSISTED (guide §5): consumed again by dedup_clusters (CC input,
+    # which curation_funnel consumes in turn) — pair-bounded rows.
     return (pairs.groupBy("doc_a", "doc_b", "na", "nb")
             .agg(F.count(F.lit(1)).alias("c"))
             .select("doc_a", "doc_b",
                     (F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
                      ).alias("jaccard"))
-            .where(F.col("jaccard") >= 0.2))
+            .where(F.col("jaccard") >= 0.2)
+            .persist())
 
 
 _O_NGRAM_JACCARD = f"""
@@ -625,10 +642,15 @@ def _q_dedup_prefix_jaccard(spark, sf_dir):
     sh = _shingles(spark, sf_dir)
     w = sh.withColumn(
         "df", F.count(F.lit(1)).over(Window.partitionBy("sh")))
+    # PERSISTED (guide §5): `lst` is referenced TWICE in this one plan —
+    # the prefix index (pre) and the verification payload (lists) —
+    # and Catalyst re-derived the df-window + per-doc pack for each
+    # reference before round 6 (2× the corpus-heavy stage).
     lst = (w.groupBy("doc_id")
            .agg(F.sort_array(F.collect_list(F.struct("df", "sh")))
                 .alias("ts"),
-                F.count(F.lit(1)).alias("sz")))
+                F.count(F.lit(1)).alias("sz"))
+           .persist())
     pre = lst.select(
         "doc_id", "sz",
         F.expr("transform(slice(ts, 1, size(ts) - div(size(ts) + 1, 2) "
@@ -654,11 +676,14 @@ def _q_dedup_prefix_jaccard(spark, sf_dir):
          .select("doc_a", "doc_b",
                  F.size(F.array_intersect("la", "lb")).alias("i"),
                  "sza", "szb"))
+    # PERSISTED (guide §5): lsh_recall_vs_exact consumes this frame
+    # verbatim as its exact-truth side — pair-bounded rows.
     return (v.select("doc_a", "doc_b",
                      (F.col("i").cast("double")
                       / (F.col("sza") + F.col("szb") - F.col("i")))
                      .alias("jaccard"))
-            .where(F.col("jaccard") >= 0.5))
+            .where(F.col("jaccard") >= 0.5)
+            .persist())
 
 
 # prefix-filter CTE chain (assumes `sh` from _SQL_SHINGLES is in scope);
@@ -1310,12 +1335,15 @@ def _q_minhash_lsh_dups(spark, sf_dir):
     buckets = (bands.groupBy("band_key")
                .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
                .where(F.size("ids").between(2, _MINHASH_BUCKET_CAP)))
+    # PERSISTED (guide §5): consumed again by dedup_lsh_clusters (CC
+    # input) and lsh_recall_vs_exact (candidate side) — pair-bounded.
     return (buckets.select(F.explode(F.expr(
         "flatten(transform(ids, (x, i) -> transform("
         "slice(ids, i + 2, size(ids) - i - 1), "
         "y -> struct(x AS doc_a, y AS doc_b))))")).alias("p"))
         .select("p.doc_a", "p.doc_b")
-        .distinct())
+        .distinct()
+        .persist())
 
 
 # shared CTE chain: shingles → signatures → band keys → capped buckets
@@ -2636,11 +2664,13 @@ def _q_dedup_clusters(spark, sf_dir):
         pairs.select(F.col("doc_a").alias("id_a"),
                      F.col("doc_b").alias("id_b")),
         nodes=docs)
+    # PERSISTED (guide §5): curation_funnel consumes this assignment as
+    # its canonical-dedup stage — one row per doc, three narrow columns.
     return cc.select(
         F.col("node").alias("doc_id"),
         F.col("component").alias("cluster_id"),
         (F.col("node") == F.col("component")).cast("int")
-        .alias("is_canonical"))
+        .alias("is_canonical")).persist()
 
 
 _O_DEDUP_CLUSTERS = f"""
@@ -4389,6 +4419,32 @@ def _stream_two_file_source(spark, sf_dir, table: str, order_col: str) -> str:
     return d
 
 
+class _stream_state_partitions:
+    """Stateful-shuffle width is fixed at stream start (AQE does not
+    apply to streaming state partitioning) — size it to the fixture's
+    key space: 64 state stores × 2 micro-batches cost ~1-2 s of
+    open/commit overhead per streaming catalog entry for key spaces of
+    a few thousand (first measured on stream_event_sessions, r4; round
+    6 applies the same lever to every stateful streaming row).  A
+    production stream sizes this to its key space —
+    SPARK_GRAFT_STREAM_PARTITIONS overrides (scale-parameterised, not
+    a local[32] constant: state-store count is a per-key-space knob,
+    independent of core count)."""
+
+    def __init__(self, spark, n: int = 8):
+        import os as _os
+        self.spark = spark
+        self.n = _os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", str(n))
+
+    def __enter__(self):
+        self.prev = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.n)
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
+        return False
+
+
 def _q_stream_dedup_exact(spark, sf_dir):
     """dedup_exact as a STREAMING aggregation: incremental
     (min(doc_id), count) state per content hash maintained across
@@ -4410,9 +4466,10 @@ def _q_stream_dedup_exact(spark, sf_dir):
            .agg(F.min("doc_id").alias("keep_id"),
                 F.count(F.lit(1)).alias("n_copies")))
     name = "stream_dedup_" + uuid.uuid4().hex[:8]
-    q = (agg.writeStream.format("memory").queryName(name)
-         .outputMode("complete").trigger(availableNow=True).start())
-    q.awaitTermination(300)
+    with _stream_state_partitions(spark):
+        q = (agg.writeStream.format("memory").queryName(name)
+             .outputMode("complete").trigger(availableNow=True).start())
+        q.awaitTermination(300)
     return spark.table(name)
 
 
@@ -4506,9 +4563,10 @@ def _q_stream_event_funnel(spark, sf_dir):
                     F.min(F.when(F.col("event_type") == "purchase",
                                  F.col("ts"))).alias("t_purchase")))
     name = "stream_funnel_" + uuid.uuid4().hex[:8]
-    q = (per_user.writeStream.format("memory").queryName(name)
-         .outputMode("complete").trigger(availableNow=True).start())
-    q.awaitTermination(300)
+    with _stream_state_partitions(spark):
+        q = (per_user.writeStream.format("memory").queryName(name)
+             .outputMode("complete").trigger(availableNow=True).start())
+        q.awaitTermination(300)
     state = spark.table(name)
     s1 = F.col("t_view").isNotNull()
     s2 = s1 & F.col("t_click").isNotNull() & (F.col("t_click")
@@ -4847,16 +4905,27 @@ def _lk_cand(spark, sf_dir):
                        F.col("title").alias("term"))
     pairs = candidate_pairs(pb, id_col="page_id", term_col="term",
                             max_len_diff=2, dim=dim, len_col="tl")
-    return pages, pairs
+    # PERSISTED shared subtree (guide §5): the candidate set feeds the
+    # scorer (_lk_scored) and the pre-verification audits
+    # (fs_calibration); ~18 linkage-family catalog entries sit on this
+    # chain and re-derived it per entry before round 6.  Slim
+    # (id, id, term, term) rows, pair-bounded.
+    return pages, pairs.persist()
 
 
 def _lk_scored(spark, sf_dir):
     """(pages, scored): scored candidate pairs (id_a, id_b, term_a,
     term_b, distance) — _lk_cand's blocking output through the
     verification stage (banded OSA ≤ 2 with the lossless JVM
-    Levenshtein prefilter)."""
+    Levenshtein prefilter).
+
+    The scored frame is PERSISTED (guide §5): it is the shared head of
+    linkage_f1/cluster_f1, the cluster-metric family, the whole
+    Fellegi-Sunter family, pair_features, er_threshold_sweep and both
+    incremental-linkage renditions — one Arrow OSA pass per session
+    instead of one per catalog entry."""
     pages, pairs = _lk_cand(spark, sf_dir)
-    return pages, score_pairs(pairs, max_distance=2)
+    return pages, score_pairs(pairs, max_distance=2).persist()
 
 
 def _lk_pred(spark, sf_dir):
@@ -5418,7 +5487,12 @@ def _lk_cc_asg(spark, sf_dir):
     cc = connected_components(pred.select("id_a", "id_b"),
                               nodes=pages.select(
                                   F.col("page_id").alias("doc_id")))
-    return pages, cc.select(F.col("node").alias("page_id"), "component")
+    # PERSISTED shared subtree (guide §5): eight post-clustering catalog
+    # entries (golden_record, cluster_stats/diameter, bcubed/ari/purity,
+    # both incremental-linkage forms) consume this assignment; the CC
+    # driver-finish otherwise re-runs per entry.  (long, long) rows.
+    return pages, (cc.select(F.col("node").alias("page_id"), "component")
+                   .persist())
 
 
 def _q_golden_record(spark, sf_dir):
@@ -5897,13 +5971,20 @@ def _q_stream_incremental_linkage(spark, sf_dir):
 
     new = _lk_new_pages(spark, sf_dir)
     path = _stream_two_file_source_df(new, "page_id")
-    stream = (spark.readStream.schema(new.schema)
-              .option("maxFilesPerTrigger", "1").parquet(path + "/*"))
+    # r6 (r5 VERDICT #4): ONE availableNow micro-batch over both files —
+    # the per-trigger Structured-Streaming floor (~5 s each here) was
+    # 2/3 of this row's wall while adding nothing the oracle or the
+    # multi-batch statefulness tests (tests/test_streaming.py, which
+    # drive the operators with maxFilesPerTrigger=1 sources) don't
+    # already pin; complete-mode state and the batch-equivalence oracle
+    # are trigger-count-invariant by construction.
+    stream = spark.readStream.schema(new.schema).parquet(path + "/*")
     out = _lk_correct(assign_new_records(stream, pages, asg, index=eb))
     name = "stream_inc_linkage_" + uuid.uuid4().hex[:8]
-    q = (out.writeStream.format("memory").queryName(name)
-         .outputMode("complete").trigger(availableNow=True).start())
-    q.awaitTermination(300)
+    with _stream_state_partitions(spark):
+        q = (out.writeStream.format("memory").queryName(name)
+             .outputMode("complete").trigger(availableNow=True).start())
+        q.awaitTermination(300)
     eb.unpersist()
     return spark.table(name)
 
@@ -6723,7 +6804,9 @@ def _lk_snm_flagged(spark, sf_dir, pages):
     cand = (c1.unionByName(c2)
             .groupBy("id_a", "id_b", "term_a", "term_b")
             .agg(F.max("s1").alias("s1"), F.max("s2").alias("s2")))
-    return score_pairs(cand, max_distance=2)
+    # PERSISTED shared subtree (guide §5): snm_multikey_pairs and
+    # blocking_compare both consume this two-pass scored SNM frame.
+    return score_pairs(cand, max_distance=2).persist()
 
 
 def _q_snm_multikey_pairs(spark, sf_dir):
@@ -6919,6 +7002,33 @@ FROM w
 """)
 
 
+def _lk_gram_pair_counts(spark, sf_dir):
+    """Shared 3-gram co-occurrence pair counts for the q-gram blocking
+    family: ONE distinct-gram inverted-index self-join aggregated to
+    (id_a, id_b, tla, tlb, ns = #shared grams).  qgram_blocking derives
+    its candidate set (ns >= 1 + length window); canopy_blocking derives
+    its loose-similarity graph (ns >= _CANOPY_LOOSE).  Before round 6
+    each row ran its own copy of the self-join — the single most
+    expensive structural stage in both plans.  PERSISTED (guide §5):
+    pair-bounded slim rows (4 ints + count), identical aggregate volume
+    to what canopy's sim stage alone processed before."""
+    pages = _lk_pages(spark, sf_dir)
+    g = pages.select(
+        "page_id", F.length("title").alias("tl"),
+        F.explode(F.array_distinct(F.expr(
+            "transform(sequence(1, length(title) - 2), "
+            "i -> substring(title, i, 3))"))).alias("gram"))
+    a, b = g.alias("a"), g.alias("b")
+    return (a.join(b, (F.col("a.gram") == F.col("b.gram"))
+                   & (F.col("a.page_id") < F.col("b.page_id")))
+            .groupBy(F.col("a.page_id").alias("id_a"),
+                     F.col("b.page_id").alias("id_b"),
+                     F.col("a.tl").alias("tla"),
+                     F.col("b.tl").alias("tlb"))
+            .agg(F.count(F.lit(1)).alias("ns"))
+            .persist())
+
+
 def _q_qgram_blocking(spark, sf_dir):
     """Character q-gram blocking (q=3), the classic token-free blocking
     family (Baxter/Christen's febrl lineage), head-to-head against
@@ -6937,18 +7047,14 @@ def _q_qgram_blocking(spark, sf_dir):
     uniform-hash slugs here have no hot grams, so the cap lever lives
     with the delete-key path where the fixture exercises it."""
     pages = _lk_pages(spark, sf_dir)
-    g = pages.select(
-        "page_id", F.length("title").alias("tl"),
-        F.explode(F.array_distinct(F.expr(
-            "transform(sequence(1, length(title) - 2), "
-            "i -> substring(title, i, 3))"))).alias("gram"))
-    a, b = g.alias("a"), g.alias("b")
-    cand = (a.join(b, (F.col("a.gram") == F.col("b.gram"))
-                   & (F.col("a.page_id") < F.col("b.page_id"))
-                   & (F.abs(F.col("a.tl") - F.col("b.tl")) <= 2))
-            .select(F.col("a.page_id").alias("id_a"),
-                    F.col("b.page_id").alias("id_b"))
-            .distinct())
+    # r6: candidates derive from the SHARED persisted gram-pair-count
+    # subtree (one self-join for the whole q-gram family instead of one
+    # per row); the length window moves from the join condition to a
+    # post-aggregation filter — same candidate set (the groupBy already
+    # dedups), the self-join runs once per session.
+    cand = (_lk_gram_pair_counts(spark, sf_dir)
+            .where(F.abs(F.col("tla") - F.col("tlb")) <= 2)
+            .select("id_a", "id_b"))
     truth = _lk_truth(pages)
     m = (cand.withColumn("ic", F.lit(1))
          .join(truth, ["id_a", "id_b"], "full_outer"))
@@ -7249,12 +7355,13 @@ def _q_canopy_blocking(spark, sf_dir, max_component=None):
         F.explode(F.array_distinct(F.expr(
             "transform(sequence(1, length(title) - 2), "
             "i -> substring(title, i, 3))"))).alias("gram"))
-    a, b = qg.alias("a"), qg.alias("b")
-    sim = (a.join(b, (F.col("a.gram") == F.col("b.gram"))
-                  & (F.col("a.page_id") < F.col("b.page_id")))
-           .groupBy(F.col("a.page_id").alias("id_a"),
-                    F.col("b.page_id").alias("id_b"))
-           .agg(F.count(F.lit(1)).alias("ns"))
+    # r6: the loose-similarity graph derives from the SHARED persisted
+    # gram-pair-count subtree (see _lk_gram_pair_counts) — the gram
+    # self-join + pair aggregation runs once per session for the whole
+    # q-gram family instead of once per row.  Identical edge set: the
+    # extra (tla, tlb) grouping keys are functionally determined by the
+    # pair ids.
+    sim = (_lk_gram_pair_counts(spark, sf_dir)
            .where(F.col("ns") >= _CANOPY_LOOSE)
            .select("id_a", "id_b"))
     comp = connected_components(sim, "id_a", "id_b",
@@ -7268,18 +7375,29 @@ def _q_canopy_blocking(spark, sf_dir, max_component=None):
     # applied at authoring time.  Persist is a SCALE decision: these
     # frames are (id, bounded-array) rows, far smaller than the join
     # they prevent re-running.
+    from pyspark.sql import Window
+
+    mc = max_component or _CANOPY_MAX_COMP
+    # Guard FOLDED into the assignment pass (r5 VERDICT #2): component
+    # sizes annotate via ONE window over the same cmp partitioning the
+    # downstream fold shuffles on anyway, replacing the r5 guard's
+    # separate sizes aggregate + broadcast anti-join (+~3 s at sf0.1).
+    # Both guard consumers (the drop-accounting row and the kept-side
+    # canopy fold) read the persisted annotated frame; semantics are
+    # identical — components with csz > mc are dropped, never silently
+    # (n_dropped_components / n_dropped_pages land in the summary).
     asg = (gset.join(comp, gset["page_id"] == comp["node"])
            .select(F.col("component").alias("cmp"), "page_id", "gs")
+           .withColumn("csz", F.count(F.lit(1)).over(
+               Window.partitionBy("cmp")))
            .persist())
-    mc = max_component or _CANOPY_MAX_COMP
-    sizes = asg.groupBy("cmp").agg(F.count(F.lit(1)).alias("csz"))
-    big = sizes.where(F.col("csz") > mc).persist()
-    drop = big.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_dropped_components"),
-        F.coalesce(F.sum("csz"), F.lit(0)).cast("bigint")
-        .alias("n_dropped_pages"))
-    asg = asg.join(F.broadcast(big.select("cmp")), "cmp", "left_anti")
-    grouped = asg.groupBy("cmp").agg(
+    drop = (asg.where(F.col("csz") > mc)
+            .agg(F.countDistinct("cmp").cast("bigint")
+                 .alias("n_dropped_components"),
+                 F.count(F.lit(1)).cast("bigint")
+                 .alias("n_dropped_pages")))
+    kept = asg.where(F.col("csz") <= mc).select("cmp", "page_id", "gs")
+    grouped = kept.groupBy("cmp").agg(
         F.array_sort(F.collect_list(
             F.struct(F.col("page_id").alias("id"), "gs"))).alias("ms"))
     centers = grouped.select("cmp", F.expr(
@@ -7292,7 +7410,7 @@ def _q_canopy_blocking(spark, sf_dir, max_component=None):
             .select("cmp", F.col("c.id").alias("cid"),
                     F.col("c.gs").alias("cgs"))
             .persist())
-    memb = (cent.join(asg, "cmp")
+    memb = (cent.join(kept, "cmp")
             .where(F.expr(f"size(array_intersect(cgs, gs)) "
                           f">= {_CANOPY_LOOSE}"))
             .select("cmp", "cid", F.col("page_id").alias("id"))
@@ -7478,9 +7596,10 @@ def _q_stream_recrawl_dedup(spark, sf_dir):
                 .cast("bigint").alias("latest_ts_us"),
                 F.count(F.lit(1)).cast("bigint").alias("n_captures")))
     name = "stream_recrawl_" + uuid.uuid4().hex[:8]
-    q = (agg.writeStream.format("memory").queryName(name)
-         .outputMode("complete").trigger(availableNow=True).start())
-    q.awaitTermination(300)
+    with _stream_state_partitions(spark):
+        q = (agg.writeStream.format("memory").queryName(name)
+             .outputMode("complete").trigger(availableNow=True).start())
+        q.awaitTermination(300)
     return spark.table(name)
 
 
