@@ -73,14 +73,22 @@ def standing_index(pages: DataFrame, asg: DataFrame,
     r6: the term payload rides the key explode itself (keep_cols) —
     the explode is a pure projection, so carrying term_b through it is
     free and removes the pages re-join entirely (2 joins → 1; the one
-    remaining join attaches the component map, broadcast-sized)."""
+    remaining join attaches the component map, broadcast-sized).  The
+    explode source fans out to session parallelism when the input
+    arrives in fewer partitions (the sf fixture is ONE parquet file, so
+    the whole delete-mask codegen otherwise ran on one core — the
+    compound._parallel_select rationale); at-scale tables keep their
+    partitioning, no shuffle added."""
+    src = pages.select(F.col(id_col).alias("ex_id"),
+                       F.col(term_col).alias("term_b"),
+                       F.length(term_col).alias("el"),
+                       F.substring(term_col, 1, prefix_length)
+                       .alias("prefix"))
+    dp = pages.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < dp:
+        src = src.repartition(dp)
     eb = delete_key_hash_explode(
-        pages.select(F.col(id_col).alias("ex_id"),
-                     F.col(term_col).alias("term_b"),
-                     F.length(term_col).alias("el"),
-                     F.substring(term_col, 1, prefix_length)
-                     .alias("prefix")),
-        "prefix", max_edit_distance=max_edit_distance,
+        src, "prefix", max_edit_distance=max_edit_distance,
         prefix_length=prefix_length,
         keep_cols=["ex_id", "term_b", "el"])
     return eb.join(asg.select(F.col(id_col).alias("ex_id"), "component"),

@@ -1826,8 +1826,10 @@ def _q_ann_topk_lsh(spark, sf_dir):
     res = lsh_bucketed_topk(emb, queries, k=5, n_planes=_LSH_PLANES,
                             seed=_LSH_SEED, probe_hamming=1,
                             n_dims=_LSH_DIMS)
+    # PERSISTED (guide §5): ann_rrf_fusion consumes this top-k frame as
+    # its first retriever — k·|queries| rows.
     return res.select("query_id", "neighbor_id",
-                      F.col("rank").cast("int").alias("rank"))
+                      F.col("rank").cast("int").alias("rank")).persist()
 
 
 def _o_ann_topk_sql() -> str:
@@ -1883,8 +1885,10 @@ def _q_ann_ivf_topk(spark, sf_dir):
     from .operators.similarity import ivf_topk
     emb = load(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") < 50)
+    # PERSISTED (guide §5): ann_rrf_fusion consumes this top-k frame as
+    # its second retriever — k·|queries| rows.
     return (ivf_topk(emb, q, k=5, n_cells=_IVF_CELLS, n_probe=_IVF_PROBE)
-            .select("query_id", "neighbor_id", "rank"))
+            .select("query_id", "neighbor_id", "rank").persist())
 
 
 _O_ANN_IVF = f"""
@@ -3055,8 +3059,12 @@ def _q_kmeans_lloyd(spark, sf_dir):
     float nondeterminism."""
     from .operators.similarity import lloyd_assign
 
+    # PERSISTED (guide §5): semdedup's internal Lloyd pass builds the
+    # identical (vec_id, cid, v, d2) subtree with the same (k, iters) —
+    # the cache entry registered here is substituted into semdedup's
+    # plan, so the 2-iteration assignment runs once per session.
     return (lloyd_assign(load(spark, sf_dir, "embeddings"),
-                         _KM_K, _KM_ITERS)
+                         _KM_K, _KM_ITERS).persist()
             .select("vec_id", F.col("cid").alias("cluster"), "d2"))
 
 
@@ -4879,6 +4887,26 @@ def _lk_pages(spark, sf_dir):
                     F.col("x.t").alias("title")))
 
 
+def _lk_pb(spark, sf_dir):
+    """PERSISTED shared subtree (guide §5): the fixture pages' delete-key
+    hash explode (page_id, tl, block_key) — consumed by the candidate
+    generator (_lk_cand) and by meta_blocking's weighted pair
+    aggregation.  The explode source fans out to session parallelism
+    when the input arrives in fewer partitions (the fixture's part table
+    is ONE parquet file, so the delete-mask codegen otherwise ran on one
+    core); at-scale tables keep their partitioning."""
+    from .functions.delete_hash_expr import delete_key_hash_explode
+
+    pages = _lk_pages(spark, sf_dir)
+    pref = pages.select("page_id", F.length("title").alias("tl"),
+                        F.substring("title", 1, 7).alias("prefix"))
+    dp = spark.sparkContext.defaultParallelism
+    if pref.rdd.getNumPartitions() < dp:
+        pref = pref.repartition(dp)
+    return delete_key_hash_explode(pref, "prefix",
+                                   keep_cols=["page_id", "tl"]).persist()
+
+
 def _lk_cand(spark, sf_dir):
     """(pages, pairs): UNVERIFIED candidate pairs (id_a, id_b, term_a,
     term_b) from the REAL blocking operators over the labeled fixture —
@@ -4894,13 +4922,8 @@ def _lk_cand(spark, sf_dir):
     (SymSpell completeness), so the verified pair set is identical —
     the same argument the linkage pipeline documents, bijection
     property-tested in tests/test_delete_hash_expr.py."""
-    from .functions.delete_hash_expr import delete_key_hash_explode
-
     pages = _lk_pages(spark, sf_dir)
-    pref = pages.select("page_id", F.length("title").alias("tl"),
-                        F.substring("title", 1, 7).alias("prefix"))
-    pb = delete_key_hash_explode(pref, "prefix",
-                                 keep_cols=["page_id", "tl"])
+    pb = _lk_pb(spark, sf_dir)
     dim = pages.select(F.col("page_id").alias("id"),
                        F.col("title").alias("term"))
     pairs = candidate_pairs(pb, id_col="page_id", term_col="term",
@@ -6971,15 +6994,12 @@ def _q_meta_blocking(spark, sf_dir):
     per-term variant set (bijection property-tested in
     tests/test_delete_hash_expr.py) and both sides dedup per-term keys
     before joining."""
-    from .functions.delete_hash_expr import delete_key_hash_explode
     from .operators.pairs import weighted_candidate_pairs
 
-    pages = _lk_pages(spark, sf_dir)
-    pref = pages.select("page_id", F.length("title").alias("tl"),
-                        F.substring("title", 1, 7).alias("prefix"))
-    pb = delete_key_hash_explode(pref, "prefix",
-                                 keep_cols=["page_id", "tl"])
-    w = weighted_candidate_pairs(pb, id_col="page_id", len_col="tl")
+    # r6: reuses the persisted _lk_pb delete-key explode (shared with
+    # the candidate generator) instead of re-deriving it.
+    w = weighted_candidate_pairs(_lk_pb(spark, sf_dir),
+                                 id_col="page_id", len_col="tl")
     return w.select(F.col("id_a").cast("bigint").alias("id_a"),
                     F.col("id_b").cast("bigint").alias("id_b"),
                     F.col("weight").cast("bigint").alias("weight"),

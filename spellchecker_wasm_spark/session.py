@@ -49,6 +49,16 @@ def get_spark(app_name: str = "spellchecker_wasm_spark",
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # AQE skips plans under a persisted relation unless this is on
+        # (SPARK-35332): without it every cached-subtree materialization
+        # runs with static shuffle widths and no runtime broadcast-join
+        # conversion — measured 2-3x on the round-6 shared-subtree
+        # persists (lookup dictionary, linkage scored pairs).  Output
+        # partitioning of the cache may then vary with AQE's coalescing,
+        # which is fine everywhere here (no consumer relies on a cached
+        # frame's physical partitioning).
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+                "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # JVM↔Python-worker exchange over unix domain sockets: with many
