@@ -1651,16 +1651,38 @@ def _q_dedup_embedding(spark, sf_dir):
     emb = (load(spark, sf_dir, "embeddings")
            .where(F.col("vec_id") < _DEDUP_EMB_CAP))
     n = _prep(emb, "vec_id", "embedding")
-    a = n.select(F.col("vid").alias("vec_a"), F.col("v").alias("va"),
-                 F.col("nrm").alias("na"))
-    b = n.select(F.col("vid").alias("vec_b"), F.col("v").alias("vb"),
-                 F.col("nrm").alias("nb"))
-    return (a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
-            .withColumn("dot", F.expr(
-                "aggregate(zip_with(va, vb, (x, y) -> x * y), 0L, "
-                "(acc, x) -> acc + x)"))
-            .where(F.col("dot") / (F.sqrt("na") * F.sqrt("nb")) >= 0.35)
-            .select("vec_a", "vec_b"))
+    # r6 (guide §4.2): the capped all-pairs check was a broadcast
+    # nested-loop join evaluating an INTERPRETED zip_with/aggregate dot
+    # per pair (~cap²/2 folds × dims); now the capped side ships once as
+    # a numpy matrix (≤ _DEDUP_EMB_CAP × dims int64 ≈ 400 KB — the same
+    # bounded-collect class as the k-row codebooks) and one vectorized
+    # matmul per Arrow batch emits the surviving pairs.  Float parity
+    # with the old plan and the oracle is op-for-op: exact int64 dot,
+    # cos = dot / (sqrt(na) · sqrt(nb)) in IEEE doubles, >= 0.35.
+    import numpy as np
+
+    pdf = n.select("vid", "v").toPandas()
+    ids_all = pdf["vid"].to_numpy(dtype=np.int64)
+    order = np.argsort(ids_all, kind="stable")
+    ids_all = ids_all[order]
+    V = np.array(pdf["v"].tolist(), dtype=np.int64)[order]
+    rt = np.sqrt((V * V).sum(axis=1))  # sqrt(nrm), float64
+
+    def block(batches):
+        import pandas as pd
+        for b in batches:
+            if not len(b):
+                continue
+            avid = b["vid"].to_numpy(dtype=np.int64)
+            A = np.array(b["v"].tolist(), dtype=np.int64)
+            art = np.sqrt((A * A).sum(axis=1))
+            cos = (A @ V.T) / (art[:, None] * rt[None, :])
+            mask = (avid[:, None] < ids_all[None, :]) & (cos >= 0.35)
+            ai, bi = np.nonzero(mask)
+            yield pd.DataFrame({"vec_a": avid[ai], "vec_b": ids_all[bi]})
+
+    return n.select("vid", "v").mapInPandas(block,
+                                            "vec_a long, vec_b long")
 
 
 _O_DEDUP_EMBEDDING = f"""
@@ -2820,11 +2842,14 @@ def _q_decontaminate(spark, sf_dir):
             .join(F.broadcast(ev), "g")
             .groupBy("doc_id")
             .agg(F.countDistinct("g").alias("n_hits")))
+    # PERSISTED (guide §5): curation_funnel consumes this frame as its
+    # decontamination stage — one narrow row per train doc.
     return (train_ids.join(hits, "doc_id", "left")
             .select("doc_id",
                     F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
                     (F.coalesce("n_hits", F.lit(0)) > 0).cast("int")
-                    .alias("contaminated")))
+                    .alias("contaminated"))
+            .persist())
 
 
 _O_DECONTAMINATE = f"""
@@ -2946,6 +2971,8 @@ def _q_token_budget_mix(spark, sf_dir):
     budget = F.lit(_MIX_DEFAULT_BUDGET)
     for lang, b in _MIX_BUDGET.items():
         budget = F.when(F.col("lang") == lang, b).otherwise(budget)
+    # PERSISTED (guide §5): curation_funnel consumes this frame as its
+    # token-budget stage — one narrow row per doc.
     return (tc.join(F.broadcast(offsets), ["lang", "bucket"])
             .withColumn("cum_tokens",
                         (F.col("offset") + F.sum("n_tokens").over(w_in))
@@ -2954,7 +2981,8 @@ def _q_token_budget_mix(spark, sf_dir):
                         (F.col("cum_tokens") <= budget).cast("int"))
             .select("doc_id", "lang",
                     F.col("n_tokens").cast("int").alias("n_tokens"),
-                    "cum_tokens", "kept"))
+                    "cum_tokens", "kept")
+            .persist())
 
 
 _O_TOKEN_BUDGET_MIX = f"""
@@ -5364,6 +5392,12 @@ def _q_blocking_stats(spark, sf_dir):
     nothing quadratic is materialized — the pair volume is computed from
     posting sizes, not by emitting pairs."""
     pages = _lk_pages(spark, sf_dir)
+    # r6: fan the string-key explode out to session parallelism (the
+    # fixture's part table is one parquet split — the generate otherwise
+    # ran on one core; at-scale tables keep their partitioning)
+    dp = spark.sparkContext.defaultParallelism
+    if pages.rdd.getNumPartitions() < dp:
+        pages = pages.repartition(dp)
     blocks = build_blocks(pages, term_col="title", carry_cols=("page_id",))
     per_key = blocks.groupBy("block_key").agg(
         F.count(F.lit(1)).alias("s"))
