@@ -88,7 +88,17 @@ def run_level(cpus: int, sf_dir: str) -> dict:
     # the thread protocol the driver IS the executor JVM, so N is the
     # faithful budget there)
     nslots = cpus + (1 if os.environ.get("BENCH_CLUSTER") == "1" else 0)
-    stride = max(1, (os.cpu_count() or 32) // nslots)
+    # ADVICE r5: clamp to the real CPU count — with cpus == cpu_count the
+    # +1 driver slot would otherwise emit a nonexistent CPU id that the
+    # kernel silently ignores, sharing the executor cores while the
+    # record claims a dedicated driver core.
+    ncpu = os.cpu_count() or 32
+    if nslots > ncpu:
+        print(f"# driver core cannot be dedicated: {nslots} slots > "
+              f"{ncpu} CPUs — driver shares executor cores",
+              file=sys.stderr)
+        nslots = ncpu
+    stride = max(1, ncpu // nslots)
     cpu_list = ",".join(str(i * stride) for i in range(nslots))
     cmd = ["taskset", "-c", cpu_list, sys.executable, "bench.py"]
     out = subprocess.run(cmd, env=env,
@@ -185,12 +195,23 @@ def gate2() -> int:
     attempt leaves a ledger entry."""
     import subprocess as sp
     la = os.getloadavg()[0]
-    probe = json.loads(sp.run(
-        [sys.executable, "scripts/probe_bandwidth.py", "8"],
-        capture_output=True, text=True, check=True).stdout)
-    per = probe["per_proc"]
+    # ADVICE r5: abspath from __file__, bounded timeout, fail the gate
+    # gracefully on probe errors (bench.py's pattern) — a cwd-relative
+    # path crashed gate2 when launched outside the repo root and a hung
+    # probe blocked forever.
+    probe_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "scripts", "probe_bandwidth.py")
+    try:
+        probe = json.loads(sp.run(
+            [sys.executable, probe_path, "8"], capture_output=True,
+            text=True, check=True, timeout=60).stdout)
+        per = probe["per_proc"]
+    except Exception:
+        per = []
     spread = (max(per) - min(per)) / max(per) * 100 if per else 100.0
-    g1 = la < 2.0 and min(per) >= 12.0 and spread <= 25.0
+    g1 = bool(per) and la < 2.0 and min(per) >= 12.0 and spread <= 25.0
+    if not per:
+        per = [-1.0]
     out = {"gate1": {"loadavg": round(la, 2), "min_gbps": min(per),
                      "spread_pct": round(spread, 1), "passed": g1}}
     if not g1:
