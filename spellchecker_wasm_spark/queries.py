@@ -4960,7 +4960,9 @@ def _lk_cand(spark, sf_dir):
     # scorer (_lk_scored) and the pre-verification audits
     # (fs_calibration); ~18 linkage-family catalog entries sit on this
     # chain and re-derived it per entry before round 6.  Slim
-    # (id, id, term, term) rows, pair-bounded.
+    # (id, id, term, term) rows, pair-bounded.  (A no-persist variant
+    # was A/B-measured this round: it recovers ~0.3 s on the first
+    # consumer but costs ~1.7 s across the chain — kept.)
     return pages, pairs.persist()
 
 
